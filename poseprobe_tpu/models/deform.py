@@ -1,0 +1,59 @@
+"""Implicit deformation field of the object pose-probe.
+
+Functional analog of `DeformedImplicitField` (`lib/deformation/deform_net.py:12-29`)
++ `SingleBVPNet`/`FCBlock` (`lib/deformation/modules.py:43-124`): a ReLU MLP
+3 -> 128 x (1 + 3 hidden) -> 4 whose output, scaled by ``output_range``
+(= range_shape.max()), splits into a 3D coordinate offset and a scalar SDF
+correction. The last layer is zero-initialized (`modules.py:166-171`) so the
+field starts as the identity.
+
+Jacobians w.r.t. the query points are taken with plain jax.grad — no
+higher-order autograd machinery needed (cf. the reference's
+`create_graph=True` calls, `lib/voxurf_coarse.py:972-984`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .mlp import apply_mlp, init_mlp
+
+HIDDEN = 128
+NUM_HIDDEN_LAYERS = 3
+
+
+def init_deform_params(key, output_range: float) -> dict:
+    dims = [3] + [HIDDEN] * (NUM_HIDDEN_LAYERS + 1) + [4]
+    return {
+        "layers": init_mlp(key, dims, scheme="kaiming_normal", last_scheme="zeros"),
+        # static scale captured as an array so checkpoints are self-describing
+        "output_range": jnp.asarray(output_range, dtype=jnp.float32),
+    }
+
+
+def apply_deform(params: dict, pts: jnp.ndarray):
+    """pts [..., 3] -> (deform [..., 3], correction [..., 1])."""
+    out = apply_mlp(params["layers"], pts) * params["output_range"]
+    return out[..., :3], out[..., 3:]
+
+
+def deform_with_jacobian(params: dict, pts: jnp.ndarray):
+    """Returns (deform, correction, d(new_coords)/d(pts) [..., 3, 3]).
+
+    new_coords = pts + deform(pts); the Jacobian is needed for the
+    grad_deform prior (`lib/voxurf_coarse.py:972-975`, `lib/losses.py:12`).
+    Note the reference's `grad_deform` is actually the Jacobian of the
+    *warped coordinates* (identity + deformation), and its loss penalizes its
+    row norms; we reproduce exactly that.
+    """
+    deform, correction = apply_deform(params, pts)
+
+    def coord_i(i):
+        def f(p):
+            d, _ = apply_deform(params, p)
+            return (p[..., i] + d[..., i]).sum()
+        return jax.grad(f)(pts)
+
+    # layout matches the reference stack(dim=2): jac[..., j, i] = d new_i / d pts_j
+    jac = jnp.stack([coord_i(0), coord_i(1), coord_i(2)], axis=-1)
+    return deform, correction, jac

@@ -1,0 +1,203 @@
+"""Scene branch: frequency-encoded MLP NeRF (coarse + fine) with BARF c2f PE.
+
+TPU-native rebuild of the SPARF scene model:
+* `NeRF` MLP (`lib/bg_nerf/source/models/frequency_nerf.py:72-281`):
+  feat trunk [input, 256 x 8] with skip at layer 4, last layer emits
+  density + 256-d feature; rgb head [feat(+view), 128, 3]; softplus density,
+  sigmoid rgb; tensorflow-style (xavier) init.
+* `Graph.render` coarse + hierarchical fine sampling (`renderer.py:532-627`),
+  `render_to_max` visibility rendering (`renderer.py:741-909`).
+
+The MLP evaluation is pure matmuls -> MXU-friendly as-is; points are kept in
+a dense [B, R, S, ...] layout so XLA fuses PE + MLP + compositing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rays as rays_mod
+from ..ops import compositing, pe, ray_sampling
+from .mlp import apply_mlp, init_linear
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    """Static scene-branch config (subset of SPARF's opt tree that is live)."""
+
+    layers_feat: tuple = (256,) * 8
+    layers_rgb: tuple = (128, 3)
+    skip: tuple = (4,)
+    L_3D: int = 10
+    L_view: int = 4
+    add_raw_3d: bool = True
+    add_raw_rays: bool = True
+    include_pi: bool = True
+    density_activ: str = "softplus"
+    view_dep: bool = True
+    barf_c2f: tuple | None = (0.4, 0.7)
+    # sampling (train_settings/default_config.py:114-117, dtu/sparf.py:50-54)
+    sample_intvs: int = 128
+    sample_intvs_fine: int = 128
+    fine_sampling: bool = True
+    depth_param: str = "metric"  # dtu/replica use metric
+    rand_rays: int = 1024
+    setbg_opaque: bool = False
+    max_iter: int = 60000
+    ratio_start_fine_sampling_at_x: float | None = 0.3
+
+    @property
+    def input_3d_dim(self) -> int:
+        return (3 if self.add_raw_3d else 0) + 6 * self.L_3D
+
+    @property
+    def input_view_dim(self) -> int:
+        return (3 if self.add_raw_rays else 0) + 6 * self.L_view
+
+
+def init_nerf_mlp(key, cfg: SceneConfig) -> dict:
+    """One NeRF MLP (coarse or fine), tf-style init (`frequency_nerf.py:87-147`)."""
+    keys = jax.random.split(key, len(cfg.layers_feat) + len(cfg.layers_rgb))
+    feat_layers = []
+    dims = list(cfg.layers_feat)
+    d_in = cfg.input_3d_dim
+    for li, d_out in enumerate(dims):
+        k_in = d_in if li == 0 else dims[li - 1]
+        if li in cfg.skip:
+            k_in += cfg.input_3d_dim
+        k_out = d_out + 1 if li == len(dims) - 1 else d_out  # +1 density on last
+        scheme = "xavier_relu"
+        layer = init_linear(keys[li], k_in, k_out, scheme)
+        if li == len(dims) - 1:
+            # out="first": xavier (gain 1) on the density row, relu-gain on the rest;
+            # approximate by re-initializing the density column without gain
+            plain = init_linear(keys[li], k_in, k_out, "xavier")
+            layer = {"w": layer["w"].at[:, :1].set(plain["w"][:, :1]), "b": layer["b"]}
+        feat_layers.append(layer)
+    rgb_layers = []
+    d_in = dims[-1] + (cfg.input_view_dim if cfg.view_dep else 0)
+    for li, d_out in enumerate(cfg.layers_rgb):
+        scheme = "xavier" if li == len(cfg.layers_rgb) - 1 else "xavier_relu"
+        rgb_layers.append(init_linear(keys[len(dims) + li], d_in, d_out, scheme))
+        d_in = d_out
+    return {"feat": feat_layers, "rgb": rgb_layers}
+
+
+def init_scene_params(key, cfg: SceneConfig) -> dict:
+    k1, k2 = jax.random.split(key)
+    params = {"nerf": init_nerf_mlp(k1, cfg)}
+    if cfg.fine_sampling:
+        params["nerf_fine"] = init_nerf_mlp(k2, cfg)
+    return params
+
+
+def nerf_forward(mlp: dict, cfg: SceneConfig, points: jnp.ndarray, ray: jnp.ndarray, progress) -> dict:
+    """MLP prediction at [B, R, S, 3] points with [B, R, 3] ray directions.
+
+    Returns dict(rgb_samples [B,R,S,3], density_samples [B,R,S]).
+    """
+    enc = pe.posenc_scene(points, cfg.L_3D, progress, cfg.barf_c2f,
+                          include_pi=cfg.include_pi, add_raw=cfg.add_raw_3d)
+    feat = enc
+    for li, layer in enumerate(mlp["feat"]):
+        if li in cfg.skip:
+            feat = jnp.concatenate([feat, enc], axis=-1)
+        feat = feat @ layer["w"] + layer["b"]
+        if li == len(mlp["feat"]) - 1:
+            raw_density = feat[..., 0]
+            feat = feat[..., 1:]
+        feat = jax.nn.relu(feat)
+    density = jax.nn.softplus(raw_density) if cfg.density_activ == "softplus" else jax.nn.relu(raw_density)
+
+    if cfg.view_dep:
+        ray_unit = ray / (jnp.linalg.norm(ray, axis=-1, keepdims=True) + 1e-12)
+        ray_unit = jnp.broadcast_to(ray_unit[..., None, :], points.shape)
+        ray_enc = pe.posenc_scene(ray_unit, cfg.L_view, progress, cfg.barf_c2f,
+                                  include_pi=cfg.include_pi, add_raw=cfg.add_raw_rays)
+        feat = jnp.concatenate([feat, ray_enc], axis=-1)
+    rgb = apply_mlp(mlp["rgb"], feat, final_activation=jax.nn.sigmoid)
+    return {"rgb_samples": rgb, "density_samples": density}
+
+
+def render_rays(
+    params: dict,
+    cfg: SceneConfig,
+    center: jnp.ndarray,
+    ray: jnp.ndarray,
+    depth_range,
+    progress,
+    rng: jax.Array | None,
+    compute_fine: bool,
+    mode_train: bool = True,
+) -> dict[str, Any]:
+    """Coarse (+ optional fine) rendering of pre-computed rays [B, R, 3].
+
+    Mirrors `Graph.render` (`renderer.py:532-627`); fine depth resampling is
+    stop-gradiented like the reference's no_grad block.
+    """
+    B, R = ray.shape[:2]
+    depth_min, depth_max = depth_range
+    rng_c, rng_f = (jax.random.split(rng) if rng is not None else (None, None))
+    depth_samples = ray_sampling.sample_depth_stratified(
+        rng_c if mode_train else None, B, R, cfg.sample_intvs, depth_min, depth_max,
+        param=cfg.depth_param)
+    points = rays_mod.get_3d_points_from_depth(center, ray, depth_samples, multi_samples=True)
+    pred = nerf_forward(params["nerf"], cfg, points, ray, progress)
+    out_c = compositing.nerf_composite(pred["rgb_samples"], pred["density_samples"],
+                                       depth_samples, ray, setbg_opaque=cfg.setbg_opaque)
+    result = {
+        "rgb": out_c.rgb, "rgb_var": out_c.rgb_var, "depth": out_c.depth,
+        "depth_var": out_c.depth_var, "opacity": out_c.opacity, "weights": out_c.weights,
+        "all_cumulated": out_c.all_cumulated, "t": depth_samples,
+        "origins": center, "viewdirs": ray,
+    }
+    if cfg.fine_sampling and compute_fine:
+        w = jax.lax.stop_gradient(out_c.weights[..., 0])
+        depth_fine = ray_sampling.sample_depth_from_pdf(
+            rng_f if mode_train else None, w, cfg.sample_intvs, cfg.sample_intvs_fine,
+            depth_min, depth_max)
+        depth_all = jnp.sort(jnp.concatenate([depth_samples, jax.lax.stop_gradient(depth_fine)], axis=2), axis=2)
+        points_f = rays_mod.get_3d_points_from_depth(center, ray, depth_all, multi_samples=True)
+        pred_f = nerf_forward(params["nerf_fine"], cfg, points_f, ray, progress)
+        out_f = compositing.nerf_composite(pred_f["rgb_samples"], pred_f["density_samples"],
+                                           depth_all, ray, setbg_opaque=cfg.setbg_opaque)
+        result.update({
+            "rgb_fine": out_f.rgb, "rgb_var_fine": out_f.rgb_var, "depth_fine": out_f.depth,
+            "depth_var_fine": out_f.depth_var, "opacity_fine": out_f.opacity,
+            "weights_fine": out_f.weights, "all_cumulated_fine": out_f.all_cumulated,
+            "t_fine": depth_all,
+        })
+    return result
+
+
+def render_rays_to_max(
+    params: dict,
+    cfg: SceneConfig,
+    center: jnp.ndarray,
+    ray: jnp.ndarray,
+    depth_min,
+    depth_max: jnp.ndarray,
+    progress,
+    compute_fine: bool,
+) -> dict[str, Any]:
+    """Render each ray only up to a per-ray max depth (visibility check).
+
+    Mirrors `Graph.render_to_max` (`renderer.py:786-875`): the `all_cumulated`
+    output is the probability the ray travels to (nearly) that depth unoccluded.
+    """
+    B, R = ray.shape[:2]
+    depth_samples = ray_sampling.sample_depth_to_max(B, R, cfg.sample_intvs, depth_min, depth_max)
+    points = rays_mod.get_3d_points_from_depth(center, ray, depth_samples, multi_samples=True)
+    pred = nerf_forward(params["nerf"], cfg, points, ray, progress)
+    out_c = compositing.nerf_composite(pred["rgb_samples"], pred["density_samples"],
+                                       depth_samples, ray, setbg_opaque=cfg.setbg_opaque)
+    result = {"all_cumulated": out_c.all_cumulated, "depth": out_c.depth, "opacity": out_c.opacity}
+    if cfg.fine_sampling and compute_fine:
+        pred_f = nerf_forward(params["nerf_fine"], cfg, points, ray, progress)
+        out_f = compositing.nerf_composite(pred_f["rgb_samples"], pred_f["density_samples"],
+                                           depth_samples, ray, setbg_opaque=cfg.setbg_opaque)
+        result["all_cumulated_fine"] = out_f.all_cumulated
+    return result
