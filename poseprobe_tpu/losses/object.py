@@ -1,0 +1,125 @@
+"""Object-branch losses.
+
+Mirrors `object_losses` (`lib/losses.py:34-74`): masked MSE render loss,
+entropy on the last transmittance, k0 total variation, eikonal constraint,
+deformation priors with an exponentially decayed weight, and a BCE mask loss
+on accumulated weights. All terms work on the dense-masked render output of
+`models.object_sdf.render`.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..ops import grid as grid_ops
+from .common import mse2psnr
+
+
+def dynamic_weight(initial: float, final: float, iteration, total: int):
+    """initial * exp(log(final/initial)/total * it) (`lib/losses.py:30-32`)."""
+    decay_rate = math.log(final / initial) / total
+    return initial * jnp.exp(decay_rate * iteration)
+
+
+def rendering_loss(rgb_marched: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked MSE, normalized by mask area (`lib/losses.py:26-29`)."""
+    se = ((rgb_marched - target) * mask) ** 2
+    return se.sum() / (mask.sum() * 3.0 + 1e-9)
+
+
+def object_losses(
+    render_out: dict[str, Any],
+    target: jnp.ndarray,       # [N, 3]
+    mask: jnp.ndarray,         # [N, 1]
+    iteration,
+    total_iterations: int,
+    weight_main: float = 1.0,
+    weight_mask: float = 0.1,
+    weight_tv_k0: float = 0.0,
+    k0_tv_value=None,
+    use_deform: bool = True,
+):
+    """Returns (scalars dict, weights dict, total loss)."""
+    scalars, weights = {}, {}
+
+    scalars["img_render"] = rendering_loss(render_out["rgb_marched"], target, mask)
+    weights["img_render"] = weight_main
+
+    pout = jnp.clip(render_out["alphainv_cum"], 1e-6, 1 - 1e-6)
+    scalars["weight_entropy_last"] = -(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)).mean()
+    weights["weight_entropy_last"] = 0.01
+
+    if weight_tv_k0 > 0 and k0_tv_value is not None:
+        scalars["tv_k0"] = k0_tv_value
+        weights["tv_k0"] = weight_tv_k0
+
+    # eikonal on SDF spatial gradients at the (valid) samples
+    gradient = render_out["gradient"]
+    # sqrt(sum + eps): exact-zero gradients (flat/masked samples) must not NaN the backward
+    gnorm = jnp.sqrt(jnp.sum(gradient * gradient, axis=-1) + 1e-12)
+    valid = render_out["mask"].astype(gnorm.dtype)
+    scalars["grad_constraint"] = (jnp.abs(gnorm - 1.0) * valid).sum() / (valid.sum() + 1e-9)
+    weights["grad_constraint"] = 1.0
+
+    if use_deform:
+        w = dynamic_weight(1e-1, 1e-3, iteration, total_iterations)
+        jd = render_out["grad_deform"]
+        jac_norm = jnp.sqrt(jnp.sum(jd * jd, axis=-1) + 1e-12)  # [..., 3]
+        scalars["grad_deform_constraint"] = (jac_norm * valid[..., None]).sum() / (valid.sum() * 3 + 1e-9)
+        weights["grad_deform_constraint"] = w
+        scalars["sdf_correct_constraint"] = (jnp.abs(render_out["sdf_correct"][..., 0]) * valid).sum() / (valid.sum() + 1e-9)
+        weights["sdf_correct_constraint"] = w
+        scalars["sdf_deform_constraint"] = (jnp.abs(render_out["sdf_deform"]) * valid).sum() / (valid.sum() + 1e-9)
+        weights["sdf_deform_constraint"] = w
+
+    cum = jnp.clip(render_out["cum_weights"], 1e-3, 1.0 - 1e-3)
+    scalars["mask_render"] = -(mask * jnp.log(cum) + (1 - mask) * jnp.log(1 - cum)).mean()
+    weights["mask_render"] = weight_mask
+
+    total = 0.0
+    for k, v in scalars.items():
+        total = total + v * weights[k]
+    psnr = mse2psnr(scalars["img_render"])
+    return scalars, weights, total, psnr
+
+
+def object_tv_losses(params: dict, cfg, nonempty_mask=None,
+                     sdf_tv: float = 0.0, smooth_grad_tv: float = 0.0,
+                     weight_tv_density: float = 0.0):
+    """SDF-grid total-variation terms (`density_total_variation`,
+    `lib/voxurf_coarse.py:407-422`), returned as a single weighted scalar.
+
+    In the reference these feed `weight_tv_density * density_total_variation(
+    **tv_terms)` with `tv_terms = {sdf_tv, smooth_grad_tv}` updated on a step
+    schedule (`configs/dtu_e2e/scan1.py:66-80`).
+    """
+    total = 0.0
+    if weight_tv_density <= 0:
+        return jnp.asarray(0.0)
+    if sdf_tv > 0:
+        total = total + grid_ops.total_variation(params["sdf_grid"], nonempty_mask) \
+            / 2.0 / cfg.voxel_size * sdf_tv
+    if smooth_grad_tv > 0:
+        grad = grid_ops.sdf_gradient_grid(params["sdf_grid"], jnp.asarray(cfg.voxel_size))
+        kernel = _tv_smooth_kernel()
+        total = total + grid_ops.smooth_grad_tv(grad, kernel, nonempty_mask) * smooth_grad_tv
+    return weight_tv_density * total
+
+
+def k0_total_variation(params: dict, nonempty_mask=None) -> jnp.ndarray:
+    """TV of the color feature grid (`k0_total_variation`, `voxurf_coarse.py:443-456`)."""
+    return grid_ops.total_variation(params["k0_grid"], nonempty_mask)
+
+
+def _tv_smooth_kernel():
+    """The normalized 3x3x3 binomial kernel of `init_gradient_conv`
+    (`voxurf_coarse.py:233-244` with sigma=0)."""
+    import numpy as np
+    k = np.asarray([
+        [[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+        [[2, 4, 2], [4, 8, 4], [2, 4, 2]],
+        [[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+    ], dtype=np.float32)
+    return jnp.asarray(k / k.sum())

@@ -28,6 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import compositing, grid as grid_ops, pe, ray_sampling
+
+
+def safe_norm(x, axis=-1, keepdims=False, eps=1e-12):
+    """Norm with a NaN-free gradient at x = 0 (flat SDF regions produce exactly
+    zero spatial gradients; d|x|/dx there would be 0/0)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
 from . import deform as deform_mod
 from .mlp import apply_mlp, init_mlp
 
@@ -280,7 +286,7 @@ def render(
     k0 = grid_ops.trilinear_sample(params["k0_grid"], pts, lo, hi)
     feats = [k0, xyz_emb, view_emb]
     if cfg.geo_rgb_dim == 3:
-        normal = gradient / (jnp.linalg.norm(gradient, axis=-1, keepdims=True) + 1e-5)
+        normal = gradient / (safe_norm(gradient, keepdims=True) + 1e-5)
         feats.append(normal)
     rgb = apply_mlp(params["rgbnet"], jnp.concatenate(feats, -1), final_activation=jax.nn.sigmoid)
 
@@ -288,7 +294,7 @@ def render(
     rgb_marched = (w * rgb).sum(axis=1)
     cum_weights = w.sum(axis=1)  # [N, 1]
     rgb_marched = jnp.clip(rgb_marched + (1.0 - cum_weights) * bg, 0.0, 1.0)
-    normal_marched = (w * (gradient / (jnp.linalg.norm(gradient, axis=-1, keepdims=True) + 1e-6))).sum(axis=1)
+    normal_marched = (w * (gradient / (safe_norm(gradient, keepdims=True) + 1e-6))).sum(axis=1)
 
     n_step = (weights * samp.step).sum(axis=1)
     d_norm = jnp.maximum(jnp.linalg.norm(rays_d, axis=-1), 1e-12)

@@ -1,0 +1,139 @@
+"""Host-side PnP-RANSAC pose initialisation against the object SDF.
+
+Mirrors `scene_rep_reconstruction.opencv_pnp_ransac` (`lib/recon_scene.py:276-310`)
+and `initialize_pnp` (`:202-214`): matched pixels in the *previous* view are
+cast as rays, the pose-probe SDF gives their 3D surface anchors, and
+cv2.solvePnPRansac recovers the new view's w2c pose from those 3D points and
+the matched pixels in the new view.
+
+Runs on host (OpenCV) at init and view-activation only — off the hot path.
+A pure-numpy P3P+RANSAC fallback (`_pnp_ransac_numpy`) covers environments
+without cv2.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import lie, pose as pose_ops, rays as rays_mod
+from ..models import object_sdf
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def pnp_from_matches(
+    obj_params: dict,
+    obj_cfg: object_sdf.ObjectConfig,
+    match_pack: np.ndarray,     # [M, 5]: (x_prev, y_prev, x_cur, y_cur, conf)
+    K: np.ndarray,              # [3, 3]
+    prev_pose_w2c: np.ndarray,  # [3, 4]
+    inverse_y: bool,
+    near: float,
+    far: float,
+) -> np.ndarray:
+    """Estimate w2c pose [3, 4] of the current view. Returns prev pose on failure."""
+    import jax.numpy as jnp
+
+    coord_prev = match_pack[:, 0:2]
+    coord_cur = match_pack[:, 2:4]
+    conf = match_pack[:, 4]
+
+    c2w_prev = np.asarray(pose_ops.invert(jnp.asarray(prev_pose_w2c)[None]))
+    ro, rd = rays_mod.get_ray_dir(jnp.asarray(coord_prev)[None], jnp.asarray(K)[None],
+                                  jnp.asarray(c2w_prev), inverse_y=inverse_y, mode="no_center")
+    pts, valid, _ = object_sdf.query_surface_points(
+        obj_params, obj_cfg, ro.reshape(-1, 3), rd.reshape(-1, 3),
+        use_deform=False, near=near, far=far)
+    pts = np.asarray(pts)
+    valid = np.asarray(valid) & (conf > 0)
+    if valid.sum() < 6:
+        return prev_pose_w2c.copy()
+    world_pts = pts[valid].astype(np.float64)
+    img_pts = coord_cur[valid].astype(np.float64)
+
+    if _HAS_CV2:
+        ok, rvec, tvec, _ = cv2.solvePnPRansac(world_pts, img_pts, K.astype(np.float64),
+                                               np.zeros((4, 1)))
+        if not ok:
+            return prev_pose_w2c.copy()
+        R = np.asarray(lie.so3_to_SO3(np.asarray(rvec, np.float32).reshape(1, 3)))[0]
+        return np.concatenate([R, np.asarray(tvec, np.float32).reshape(3, 1)], axis=1)
+    return _pnp_ransac_numpy(world_pts, img_pts, K, prev_pose_w2c)
+
+
+def _pnp_dlt(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray) -> np.ndarray | None:
+    """Direct linear transform pose (needs >= 6 points)."""
+    n = len(world_pts)
+    norm = np.linalg.inv(K) @ np.concatenate([img_pts, np.ones((n, 1))], 1).T
+    u, v = norm[0], norm[1]
+    A = np.zeros((2 * n, 12))
+    X = np.concatenate([world_pts, np.ones((n, 1))], 1)
+    A[0::2, 0:4] = X
+    A[0::2, 8:12] = -u[:, None] * X
+    A[1::2, 4:8] = X
+    A[1::2, 8:12] = -v[:, None] * X
+    _, _, Vt = np.linalg.svd(A)
+    P = Vt[-1].reshape(3, 4)
+    R_raw = P[:, :3]
+    U, S, Vt2 = np.linalg.svd(R_raw)
+    scale = S.mean()
+    if scale < 1e-12:
+        return None
+    R = U @ Vt2
+    if np.linalg.det(R) < 0:
+        R, P = -R, -P
+    t = P[:, 3] / scale
+    # fix cheirality: points should be in front (positive z)
+    z = (world_pts @ R.T + t)[:, 2]
+    if np.median(z) < 0:
+        return None
+    return np.concatenate([R, t[:, None]], 1).astype(np.float32)
+
+
+def _pnp_ransac_numpy(world_pts, img_pts, K, fallback, iters: int = 200, thresh: float = 4.0):
+    """Minimal DLT-based RANSAC PnP (fallback when cv2 is unavailable)."""
+    rng = np.random.default_rng(0)
+    n = len(world_pts)
+    best_inliers, best_pose = 0, None
+    for _ in range(iters):
+        sel = rng.choice(n, size=min(6, n), replace=False)
+        pose = _pnp_dlt(world_pts[sel], img_pts[sel], K)
+        if pose is None:
+            continue
+        pc = world_pts @ pose[:, :3].T + pose[:, 3]
+        z = np.clip(pc[:, 2], 1e-6, None)
+        px = (pc[:, :2] / z[:, None]) @ K[:2, :2].T + K[:2, 2]
+        err = np.linalg.norm(px - img_pts, axis=1)
+        inliers = (err < thresh) & (pc[:, 2] > 0)
+        if inliers.sum() > best_inliers:
+            best_inliers = int(inliers.sum())
+            refined = _pnp_dlt(world_pts[inliers], img_pts[inliers], K)
+            best_pose = refined if refined is not None else pose
+    if best_pose is None or best_inliers < 6:
+        return fallback.copy()
+    return best_pose
+
+
+def initialize_poses_pnp(
+    obj_params: dict,
+    obj_cfg: object_sdf.ObjectConfig,
+    data,
+    use_identical: bool = False,
+) -> np.ndarray:
+    """Incremental PnP chain: pose[0] = GT anchor, pose[i] from matches vs pose[i-1].
+
+    Mirrors `initialize_pnp` (`recon_scene.py:202-214`).
+    """
+    poses = [np.asarray(data.poses_gt_w2c[data.i_train[0]], np.float32)]
+    for idx in range(1, data.n_train):
+        if use_identical:
+            poses.append(poses[idx - 1].copy())
+            continue
+        i = data.i_train[idx]
+        poses.append(pnp_from_matches(
+            obj_params, obj_cfg, data.obj_matches[idx], data.Ks[i], poses[idx - 1],
+            inverse_y=data.inverse_y, near=data.near, far=data.far))
+    return np.stack(poses)

@@ -1,0 +1,349 @@
+"""Joint dual-branch trainer: one jitted train step + a thin host loop.
+
+TPU-native rebuild of `scene_rep_reconstruction.optimize_increamental`
+(`lib/recon_scene.py:534-777`). The reference's per-step host logic (pose
+composition, ray gathering, both renders, all losses, one backward, three
+optimizer steps) becomes a single XLA program; the host loop only handles
+discrete events:
+
+* incremental view activation + PnP re-initialisation every
+  ``camera.incremental_step`` iterations (`recon_scene.py:555-568`),
+* phase switches (object-branch cutoff at N_iters, pose-window end, fine
+  sampling / depth-consistency start at 30% of max_iter) and the active view
+  count — each combination is its own compiled step (a handful of
+  compilations, amortized over 60k iterations),
+* periodic validation / checkpoints / logging.
+
+Schedules that vary smoothly with step (BARF progress, NeuS s, lr decay,
+corres-weight halving, tv_updates) stay *inside* jit as functions of the
+traced step — no retracing.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.config import ExperimentConfig
+from ..core import pose as pose_ops, rays as rays_mod
+from ..data.base import SceneData
+from ..losses import common as loss_common
+from ..losses import object as object_losses_mod
+from ..losses import projection as projection_losses
+from ..losses import scene as scene_losses
+from ..models import object_sdf, pose_refine, scene_nerf
+from ..ops import grid as grid_ops
+from ..parallel import mesh as mesh_mod
+from ..pose_init import pnp as pnp_mod
+from . import batching, optim as optim_mod
+from .state import TrainState
+
+
+class JointTrainer:
+    """Owns device-resident data, the compiled step family, and the host loop."""
+
+    def __init__(self, cfg: ExperimentConfig, data: SceneData, seed: int | None = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.data = data
+        self.mesh = mesh  # jax.sharding.Mesh for multi-chip ray-DP (None = single chip)
+        seed = cfg.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        k_obj, k_scene, k_noise, self._loop_key = jax.random.split(key, 4)
+
+        # --- device data (train views only, ordered by i_train) ---
+        it = data.i_train
+        self.images = jnp.asarray(data.images[it])
+        self.masks = jnp.asarray(data.masks[it])
+        self.Ks = jnp.asarray(data.Ks[it])
+        self.poses_gt = jnp.asarray(data.poses_gt_w2c[it])
+        self.sampler_pixels = jnp.asarray(data.samplers.pixels)
+        self.sampler_counts = jnp.asarray(data.samplers.counts)
+        self.obj_matches = jnp.asarray(data.obj_matches)
+        self.scene_matches = jnp.asarray(data.scene_matches)
+        self.pair_j = jnp.asarray(data.pair_j)
+        self.n_train = data.n_train
+        self.H, self.W = data.H, data.W
+
+        # --- models ---
+        obj_params = object_sdf.init_object_params(k_obj, cfg.object_model)
+        cam_centers = np.asarray(pose_ops.invert(self.poses_gt))[:, :3, 3]
+        obj_params = object_sdf.maskout_near_cam_vox(obj_params, cfg.object_model,
+                                                     cam_centers, data.near)
+        scene_params = scene_nerf.init_scene_params(k_scene, cfg.scene_model)
+        pose_params = pose_refine.init_pose_params(self.n_train)
+        self.pose_noise = pose_refine.make_pose_noise(k_noise, self.n_train, cfg.camera.noise)
+
+        # --- pose initialisation: PnP chain (host) or noisy GT ---
+        if cfg.pnp.use_pnp or cfg.pnp.use_identical:
+            poses_pnp = pnp_mod.initialize_poses_pnp(obj_params, cfg.object_model, data,
+                                                     use_identical=cfg.pnp.use_identical)
+        else:
+            poses_pnp = np.asarray(pose_ops.compose_pair(self.pose_noise, self.poses_gt))
+
+        # --- optimizers ---
+        sc = cfg.scene_train
+        self.pose_window = int(sc.max_iter * sc.ratio_end_joint_nerf_pose_refinement)
+        self.opt_obj = optim_mod.build_object_optimizer(cfg.object_train)
+        self.opt_scene = optim_mod.build_scene_optimizer(sc)
+        self.opt_pose = optim_mod.build_pose_optimizer(cfg.object_train, self.pose_window)
+
+        self.state = TrainState(
+            obj_params=obj_params,
+            scene_params=scene_params,
+            pose_params=pose_params,
+            opt_obj=self.opt_obj.init(obj_params),
+            opt_scene=self.opt_scene.init(scene_params),
+            opt_pose=self.opt_pose.init(pose_params),
+            poses_pnp=jnp.asarray(poses_pnp),
+            step=0,
+            n_active=2 if (cfg.camera.incremental and self.n_train > 2) else self.n_train,
+        )
+        self.fine_start = (int(sc.max_iter * cfg.scene_model.ratio_start_fine_sampling_at_x)
+                           if cfg.scene_model.ratio_start_fine_sampling_at_x is not None else 0)
+        self.depth_cons_start = (int(sc.max_iter * sc.start_ratio_depth_cons)
+                                 if sc.start_ratio_depth_cons is not None else -1)
+        self._metrics_hist: list[dict] = []
+
+    # ------------------------------------------------------------------ poses
+
+    def current_pose(self, state: TrainState | None = None) -> jnp.ndarray:
+        state = state or self.state
+        return pose_refine.current_pose_pnp(state.pose_params, state.poses_pnp)
+
+    # ------------------------------------------------------------------- step
+
+    @functools.partial(jax.jit, static_argnames=("self", "n_active", "object_on", "pose_on",
+                                                 "fine_on", "depth_cons_on", "proj_use_deform"))
+    def _train_step(self, state_tuple, rng, step, n_active: int,
+                    object_on: bool, pose_on: bool, fine_on: bool,
+                    depth_cons_on: bool, proj_use_deform: bool):
+        (obj_params, scene_params, pose_params,
+         opt_obj, opt_scene, opt_pose, poses_pnp) = state_tuple
+        cfg = self.cfg
+        oc, ot, sc, sm = cfg.object_model, cfg.object_train, cfg.scene_train, cfg.scene_model
+        step_f = step.astype(jnp.float32)
+        scene_progress = jnp.clip(step_f / sm.max_iter, 0.0, 1.0)
+        keys = jax.random.split(rng, 10)
+        depth_range = (self.data.near, self.data.far)
+
+        def loss_fn(trainable):
+            obj_p, scene_p, pose_p = trainable
+            current_pose = pose_refine.current_pose_pnp(pose_p, poses_pnp)
+            metrics: dict[str, Any] = {}
+            total = 0.0
+
+            # ---------------- object branch ----------------
+            if object_on:
+                batch = batching.sample_object_batch(
+                    keys[0], ot.N_rand, n_active, self.images, self.masks, self.Ks,
+                    current_pose, self.sampler_pixels, self.sampler_counts,
+                    self.data.inverse_y)
+                # multi-chip: rays sharded over the data mesh, grids replicated
+                batch = jax.tree.map(lambda x: mesh_mod.shard_rays(x, self.mesh), batch)
+                render_out = object_sdf.render(
+                    obj_p, oc, batch.rays_o, batch.rays_d, batch.viewdirs,
+                    global_step=step_f, rng=keys[1], use_deform=True, is_train=True,
+                    near=self.data.near, far=self.data.far,
+                    bg=1.0 if self.data.white_bkgd else 0.0)
+                k0_tv = object_losses_mod.k0_total_variation(obj_p)
+                scalars, weights, obj_loss, psnr = object_losses_mod.object_losses(
+                    render_out, batch.target, batch.mask, step_f, oc.N_iters,
+                    weight_main=ot.weight_main, weight_mask=ot.weight_mask,
+                    weight_tv_k0=ot.weight_tv_k0, k0_tv_value=k0_tv, use_deform=True)
+                obj_loss = obj_loss + self._tv_density_loss(obj_p, step)
+                metrics["psnr_obj"] = psnr
+                metrics["s_val"] = render_out["s_val"]
+
+                if ot.projection_dis_error > 0:
+                    r = jax.random.randint(keys[2], (), 0, n_active)
+                    pack = self.obj_matches[r]
+                    proj_err, near_surf = projection_losses.projection_error_loss(
+                        obj_p, oc, current_pose, self.Ks,
+                        coord_self=pack[:, 0:2], coord_other=pack[:, 2:4],
+                        mconf=pack[:, 4], id_i=self.pair_j[r], id_j=r,
+                        global_step=step_f, inverse_y=self.data.inverse_y,
+                        use_deform=proj_use_deform, pixel_thre=200.0,
+                        near=self.data.near, far=self.data.far)
+                    obj_loss = obj_loss + ot.projection_dis_error * proj_err \
+                        + ot.weight_near_surface * near_surf
+                    metrics["proj_err"] = proj_err
+                total = total + 0.1 * obj_loss  # joint mix (recon_scene.py:648)
+
+            # ---------------- scene branch (active views only) ----------------
+            active_pose = current_pose[:n_active]
+            active_K = self.Ks[:n_active]
+            sbatch = batching.sample_scene_pixels(
+                keys[3], n_active, sm.rand_rays // n_active, self.H, self.W,
+                sc.depth_regu_patch_size, self.images[:n_active], n_active,
+                precrop=False)
+            center, ray = rays_mod.get_center_and_ray_at_pixels(
+                active_pose, jnp.broadcast_to(sbatch.pixels, (n_active,) + sbatch.pixels.shape),
+                active_K)
+            center = mesh_mod.shard_rays(center, self.mesh, axis=1)
+            ray = mesh_mod.shard_rays(ray, self.mesh, axis=1)
+            rets = scene_nerf.render_rays(
+                scene_p, sm, center, ray, depth_range, progress=scene_progress,
+                rng=keys[4], compute_fine=fine_on)
+            loss_dict = dict(scene_losses.photometric_and_regu_loss(rets, sbatch.target, sc))
+
+            lw = sc.loss_weight_dict()
+            if lw.get("corres") is not None:
+                r = jax.random.randint(keys[5], (), 0, n_active)
+                pack = self.scene_matches[r]
+                loss_dict["corres"] = scene_losses.correspondence_loss(
+                    scene_p, sm, current_pose, self.Ks,
+                    pixels_self=pack[:, 2:4], pixels_other=pack[:, 0:2],
+                    conf=pack[:, 4], id_self=r, id_other=self.pair_j[r],
+                    depth_range=depth_range, progress=scene_progress,
+                    iteration=step_f, compute_fine=fine_on, opt=sc, rng=keys[6])
+            if depth_cons_on and lw.get("depth_cons") is not None:
+                kp, kx, ky, kw, kr = jax.random.split(keys[7], 5)
+                id_self = jax.random.randint(kp, (), 0, n_active)
+                n_ref = max(256, sm.rand_rays)
+                pixels_ref = jnp.stack([
+                    jax.random.uniform(kx, (n_ref,)) * (self.W - 2),
+                    jax.random.uniform(ky, (n_ref,)) * (self.H - 2),
+                ], -1)
+                loss_dict["depth_cons"] = scene_losses.depth_consistency_loss(
+                    scene_p, sm, active_pose, active_K, pixels_ref, id_self,
+                    interp_w=jax.random.uniform(kw, ()),
+                    H=self.H, W=self.W, depth_range=depth_range,
+                    progress=scene_progress, iteration=step_f, compute_fine=fine_on,
+                    use_fine_depth_as_ref=fine_on, opt=sc, rng=kr)
+            scene_loss = loss_common.summarize_losses(loss_dict, lw)
+            total = total + scene_loss
+            mse = ((rets["rgb"] - sbatch.target) ** 2).mean()
+            metrics["psnr_scene"] = loss_common.mse2psnr(mse)
+            metrics["loss_render"] = loss_dict["render"]
+            if "corres" in loss_dict:
+                metrics["loss_corres"] = loss_dict["corres"]
+            metrics["loss_total"] = total
+            return total, metrics
+
+        trainable = (obj_params, scene_params, pose_params)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        g_obj, g_scene, g_pose = grads
+
+        if object_on:
+            up_obj, opt_obj = self.opt_obj.update(g_obj, opt_obj, obj_params)
+            obj_params = jax.tree.map(lambda p, u: p + u, obj_params, up_obj)
+        up_scene, opt_scene = self.opt_scene.update(g_scene, opt_scene, scene_params)
+        scene_params = jax.tree.map(lambda p, u: p + u, scene_params, up_scene)
+        if pose_on:
+            up_pose, opt_pose = self.opt_pose.update(g_pose, opt_pose, pose_params)
+            pose_params = jax.tree.map(lambda p, u: p + u, pose_params, up_pose)
+
+        new_state = (obj_params, scene_params, pose_params, opt_obj, opt_scene,
+                     opt_pose, poses_pnp)
+        return new_state, metrics
+
+    def _tv_density_loss(self, obj_p, step):
+        """weight_tv_density * (sdf TV + smoothed-grad TV) with the tv_updates
+        step schedule applied as traced weights (`scan1.py:66-80`)."""
+        ot, oc = self.cfg.object_train, self.cfg.object_model
+        if ot.weight_tv_density <= 0:
+            return 0.0
+        sdf_tv = jnp.asarray(ot.sdf_tv)
+        smooth_tv = jnp.asarray(ot.smooth_grad_tv)
+        for ev_step, updates in ot.tv_updates:
+            upd = dict(updates)
+            if "sdf_tv" in upd:
+                sdf_tv = jnp.where(step >= ev_step, upd["sdf_tv"], sdf_tv)
+            if "smooth_grad_tv" in upd:
+                smooth_tv = jnp.where(step >= ev_step, upd["smooth_grad_tv"], smooth_tv)
+        total = 0.0
+        if ot.sdf_tv > 0:
+            total = total + grid_ops.total_variation(obj_p["sdf_grid"]) / 2.0 / oc.voxel_size * sdf_tv
+        if ot.smooth_grad_tv > 0:
+            grad = grid_ops.sdf_gradient_grid(obj_p["sdf_grid"], jnp.asarray(oc.voxel_size))
+            kernel = object_losses_mod._tv_smooth_kernel()
+            total = total + grid_ops.smooth_grad_tv(grad, kernel) * smooth_tv
+        return ot.weight_tv_density * total
+
+    # ------------------------------------------------------------------- loop
+
+    def phase_flags(self, step: int) -> dict:
+        cfg = self.cfg
+        return dict(
+            n_active=self.state.n_active,
+            object_on=step <= cfg.object_train.N_iters,
+            pose_on=step < self.pose_window and cfg.object_train.lr_pose > 0,
+            fine_on=bool(cfg.scene_model.fine_sampling and step >= self.fine_start),
+            depth_cons_on=bool(self.depth_cons_start >= 0 and step >= self.depth_cons_start),
+            proj_use_deform=(step <= cfg.object_train.N_iters) and self.state.n_active > 2,
+        )
+
+    def maybe_activate_view(self, step: int) -> None:
+        """Incremental activation + PnP of the newly added view (host event)."""
+        cfg = self.cfg
+        if not cfg.camera.incremental or self.state.n_active >= self.n_train:
+            return
+        if step == 0 or step % cfg.camera.incremental_step != 0:
+            return
+        new_idx = self.state.n_active  # next train view
+        cur = np.asarray(self.current_pose())
+        if cfg.pnp.use_identical:
+            new_pose = cur[new_idx - 1]
+        elif cfg.pnp.use_pnp:
+            new_pose = pnp_mod.pnp_from_matches(
+                self.state.obj_params, cfg.object_model,
+                np.asarray(self.obj_matches[new_idx]), np.asarray(self.Ks[new_idx]),
+                cur[new_idx - 1], inverse_y=self.data.inverse_y,
+                near=self.data.near, far=self.data.far)
+        else:
+            new_pose = np.asarray(self.state.poses_pnp[new_idx])
+        poses_pnp = np.asarray(self.state.poses_pnp).copy()
+        poses_pnp[new_idx] = new_pose
+        self.state.poses_pnp = jnp.asarray(poses_pnp)
+        self.state.n_active += 1
+
+    def step_once(self, rng) -> dict:
+        state = self.state
+        flags = self.phase_flags(state.step)
+        state_tuple = (state.obj_params, state.scene_params, state.pose_params,
+                       state.opt_obj, state.opt_scene, state.opt_pose, state.poses_pnp)
+        new_tuple, metrics = self._train_step(
+            state_tuple, rng, jnp.asarray(state.step, jnp.int32), **flags)
+        (state.obj_params, state.scene_params, state.pose_params,
+         state.opt_obj, state.opt_scene, state.opt_pose, _) = new_tuple
+        state.step += 1
+        return metrics
+
+    def fit(self, num_steps: int, log_every: int = 0, callback=None) -> list[dict]:
+        for _ in range(num_steps):
+            self.maybe_activate_view(self.state.step)
+            self._loop_key, rng = jax.random.split(self._loop_key)
+            metrics = self.step_once(rng)
+            if log_every and self.state.step % log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["step"] = self.state.step
+                host["n_active"] = self.state.n_active
+                self._metrics_hist.append(host)
+                if callback is not None:
+                    callback(host)
+        return self._metrics_hist
+
+    # ------------------------------------------------------------------- eval
+
+    def render_full_image(self, pose_w2c: jnp.ndarray, K: jnp.ndarray,
+                          chunk: int = 2048, fine: bool = True) -> dict:
+        """Chunked scene-branch full-image render (`render_by_slices`, `renderer.py:629-663`)."""
+        sm = self.cfg.scene_model
+        use_fine = bool(fine and sm.fine_sampling)
+        center, ray = rays_mod.get_center_and_ray(pose_w2c[None], self.H, self.W, K[None])
+        outs: dict[str, list] = {"rgb": [], "depth": [], "opacity": [], "depth_var": []}
+        suffix = "_fine" if use_fine else ""
+        for c in range(0, self.H * self.W, chunk):
+            sl = slice(c, min(c + chunk, self.H * self.W))
+            rets = scene_nerf.render_rays(
+                self.state.scene_params, sm, center[:, sl], ray[:, sl],
+                (self.data.near, self.data.far), progress=1.0, rng=None,
+                compute_fine=use_fine, mode_train=False)
+            for k in outs:
+                outs[k].append(rets[k + suffix])
+        return {k: jnp.concatenate(v, axis=1).reshape(self.H, self.W, -1)
+                for k, v in outs.items()}

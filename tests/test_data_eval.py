@@ -1,0 +1,144 @@
+"""Tests for data loaders' pure parsing pieces, metrics, mesh, and matching."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from poseprobe_tpu.data import base as data_base
+from poseprobe_tpu.data.loaders import load_K_Rt_from_P, load_blender, load_toy
+from poseprobe_tpu.config.config import DataConfig
+from poseprobe_tpu.eval import mesh, metrics
+from poseprobe_tpu.pose_init import matching
+
+
+class TestProjectionDecomposition:
+    def test_load_K_Rt_roundtrip(self):
+        rng = np.random.default_rng(0)
+        K = np.array([[500.0, 0, 320], [0, 480.0, 240], [0, 0, 1]])
+        from scipy.spatial.transform import Rotation
+        R = Rotation.from_rotvec(rng.normal(0, 0.4, 3)).as_matrix()
+        t = rng.normal(0, 1, 3)
+        P = K @ np.concatenate([R, t[:, None]], 1)
+        K2, pose_c2w = load_K_Rt_from_P(P.astype(np.float32))
+        np.testing.assert_allclose(K2, K / K[2, 2], atol=1e-3)
+        np.testing.assert_allclose(pose_c2w[:3, :3], R.T, atol=1e-4)
+        np.testing.assert_allclose(pose_c2w[:3, 3], -R.T @ t, atol=1e-3)
+
+
+class TestMesh:
+    def test_sphere_surface(self):
+        n = 32
+        ax = np.linspace(-1, 1, n)
+        X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+        vol = 0.5 - np.sqrt(X**2 + Y**2 + Z**2)
+        verts, tris = mesh.marching_cubes(vol, 0.0)
+        assert len(verts) > 100 and len(tris) > 100
+        verts_w, _ = mesh.extract_mesh_world(vol, [-1, -1, -1], [1, 1, 1])
+        r = np.linalg.norm(verts_w, axis=1)
+        assert abs(r.mean() - 0.5) < 0.02
+
+    def test_chamfer_known_offset(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(0, 1, (5000, 3)).astype(np.float32)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b = a * 1.1
+        _, _, ch = mesh.chamfer_distance(a, b)
+        assert abs(ch - 0.1) < 0.02
+
+    def test_ply_export(self, tmp_path):
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        tris = np.array([[0, 1, 2]], np.int32)
+        path = str(tmp_path / "mesh.ply")
+        mesh.save_ply(path, verts, tris)
+        content = open(path).read()
+        assert "element vertex 3" in content and "element face 1" in content
+
+
+class TestMetrics:
+    def test_psnr(self):
+        import jax.numpy as jnp
+        a = jnp.zeros((8, 8, 3))
+        b = jnp.ones((8, 8, 3)) * 0.1
+        np.testing.assert_allclose(float(metrics.psnr(a, b)), 20.0, atol=1e-3)
+
+    def test_ssim_identity(self):
+        import jax
+        img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+        assert float(metrics.ssim(img, img)) > 0.999
+
+    def test_ssim_degrades(self):
+        import jax
+        img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+        noisy = img + jax.random.normal(jax.random.PRNGKey(1), img.shape) * 0.2
+        assert float(metrics.ssim(img, noisy)) < float(metrics.ssim(img, img))
+
+    def test_lpips_gated(self):
+        assert not metrics.lpips_available() or os.environ.get("POSEPROBE_LPIPS_WEIGHTS")
+
+
+class TestMatching:
+    def test_classical_matcher_on_shifted_texture(self):
+        rng = np.random.default_rng(2)
+        base_img = rng.random((96, 96, 3)).astype(np.float32)
+        # smooth it a bit so SIFT finds blobs
+        from scipy.ndimage import gaussian_filter
+        base_img = gaussian_filter(base_img, (2, 2, 0))
+        base_img = (base_img - base_img.min()) / (np.ptp(base_img) + 1e-9)
+        shift = 5
+        img_j = base_img
+        img_i = np.roll(base_img, shift, axis=1)
+        pack = matching.match_pair_classical(img_i, img_j, None, max_matcher=128)
+        valid = pack[:, 4] > 0
+        assert valid.sum() >= 8
+        dx = pack[valid, 2] - pack[valid, 0]
+        # median displacement should equal the shift
+        assert abs(np.median(dx) - shift) < 1.5
+
+    def test_pack_shape_and_padding(self):
+        img = np.zeros((32, 32, 3), np.float32)  # featureless -> all padding
+        pack = matching.match_pair_classical(img, img, None, max_matcher=64)
+        assert pack.shape == (64, 5)
+        assert (pack[:, 4] == 0).all()
+
+
+class TestBlenderToyLoaders:
+    def _write_blender_dataset(self, root, n=3, H=20, W=20, with_instance=False):
+        os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+        import imageio.v2 as imageio
+        rng = np.random.default_rng(0)
+        for split in ("train", "val", "test"):
+            frames = []
+            for k in range(n):
+                name = f"imgs/{split}_{k}"
+                img = (rng.random((H, W, 4)) * 255).astype(np.uint8)
+                img[..., 3] = 255
+                imageio.imwrite(os.path.join(root, name + ".png"), img)
+                if with_instance:
+                    inst = np.zeros((H, W), np.uint8)
+                    inst[5:15, 5:15] = 1
+                    imageio.imwrite(os.path.join(root, name + ".instance.png"), inst)
+                c2w = np.eye(4)
+                c2w[2, 3] = 3.0 + k * 0.1
+                frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
+            meta = {"camera_angle_x": 0.8, "frames": frames}
+            with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+                json.dump(meta, f)
+
+    def test_load_blender(self, tmp_path):
+        self._write_blender_dataset(str(tmp_path))
+        cfg = DataConfig(datadir=str(tmp_path), dataset_type="blender",
+                         selected_id=(0, 1, 2), trainskip=1)
+        data = load_blender(cfg, matcher_backend="classical")
+        assert data.images.shape[0] == 9
+        assert data.n_train == 3
+        assert data.obj_matches.shape == (3, cfg.max_matcher, 5)
+        assert np.isfinite(data.poses_gt_w2c).all()
+
+    def test_load_toy(self, tmp_path):
+        self._write_blender_dataset(str(tmp_path), with_instance=True)
+        cfg = DataConfig(datadir=str(tmp_path), dataset_type="toy",
+                         selected_id=(0, 1), test_id=(6, 7))
+        data = load_toy(cfg, matcher_backend="classical")
+        assert data.masks.max() == 1.0
+        assert data.n_train == 2
