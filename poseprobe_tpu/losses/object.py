@@ -19,7 +19,7 @@ from .common import mse2psnr
 
 def dynamic_weight(initial: float, final: float, iteration, total: int):
     """initial * exp(log(final/initial)/total * it) (`lib/losses.py:30-32`)."""
-    decay_rate = math.log(final / initial) / total
+    decay_rate = math.log(final / initial) / max(total, 1)
     return initial * jnp.exp(decay_rate * iteration)
 
 

@@ -37,6 +37,33 @@ def apply_deform(params: dict, pts: jnp.ndarray):
     return out[..., :3], out[..., 3:]
 
 
+def deform_with_jacobian_fwd(params: dict, pts: jnp.ndarray):
+    """Forward-mode variant returning everything the renderer needs in one go.
+
+    Returns (deform [..., 3], correction [..., 1],
+             jac_warp [..., 3, 3] with jac[..., j, i] = d(pts+deform)_i/d pts_j,
+             grad_corr [..., 3]).
+    Three JVPs through the small MLP — no backward graphs, so the outer loss
+    backward stays first-order (vs. the reference's create_graph=True VJPs).
+    """
+    def f(p):
+        d, c = apply_deform(params, p)
+        return jnp.concatenate([d, c], axis=-1)  # [..., 4]
+
+    primal = f(pts)
+    rows = []
+    eye = jnp.eye(3, dtype=pts.dtype)
+    for j in range(3):
+        t = jnp.broadcast_to(eye[j], pts.shape)
+        _, jv = jax.jvp(f, (pts,), (t,))
+        rows.append(jv)
+    jac4 = jnp.stack(rows, axis=-2)  # [..., 3(in), 4(out)]
+    deform, correction = primal[..., :3], primal[..., 3:]
+    jac_warp = jac4[..., :3] + eye  # + identity: d(pts + deform)/d pts
+    grad_corr = jac4[..., 3]
+    return deform, correction, jac_warp, grad_corr
+
+
 def deform_with_jacobian(params: dict, pts: jnp.ndarray):
     """Returns (deform, correction, d(new_coords)/d(pts) [..., 3, 3]).
 

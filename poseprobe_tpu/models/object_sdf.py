@@ -246,23 +246,30 @@ def render(
 
     sdf_grid = processed_sdf_grid(params, cfg)
 
-    # SDF + its spatial gradient at sample points (one grad of a sum: points
-    # are independent so this is the exact per-point gradient).
-    def sdf_sum(p):
-        s, _ = sdf_with_deform(params, cfg, sdf_grid, p, use_deform)
-        return s.sum(), s
-
-    gradient, sdf_final = jax.grad(sdf_sum, has_aux=True)(pts)
-
+    # SDF value + spatial gradient, all forward-mode/analytic: three JVPs
+    # through the deform MLP give the warp Jacobian, the trilerp gradient is
+    # closed-form, and the chain rule composes them — so the outer loss
+    # backward stays a single first-order VJP (the reference instead builds
+    # create_graph=True backward graphs, `voxurf_coarse.py:972-984`).
     aux = {}
     if use_deform:
-        deform, correction, jac = deform_mod.deform_with_jacobian(params["warpnet"], pts)
+        deform, correction, jac_warp, grad_corr = deform_mod.deform_with_jacobian_fwd(
+            params["warpnet"], pts)
+        new_coords = pts + deform
+        sdf_val, tri_grad = grid_ops.trilinear_sample_with_grad(sdf_grid, new_coords, lo, hi)
+        sdf_final = sdf_val[..., 0] + correction[..., 0]
+        # d sdf/d pts_j = sum_i J_warp[..., j, i] * d trilerp/d x_i + d corr/d pts_j
+        gradient = jnp.einsum("...ji,...i->...j", jac_warp, tri_grad[..., 0, :]) + grad_corr
         sdf_wo_deform = grid_ops.trilinear_sample(sdf_grid, pts, lo, hi)[..., 0]
         aux = {
             "sdf_deform": sdf_final - sdf_wo_deform,  # (ref :978)
-            "grad_deform": jac,
+            "grad_deform": jac_warp,
             "sdf_correct": correction,
         }
+    else:
+        sdf_val, tri_grad = grid_ops.trilinear_sample_with_grad(sdf_grid, pts, lo, hi)
+        sdf_final = sdf_val[..., 0]
+        gradient = tri_grad[..., 0, :]
 
     dist = cfg.stepsize * cfg.voxel_size
     if is_train and not cfg.s_learn:
@@ -357,7 +364,11 @@ def query_surface_points(
     dist = cfg.stepsize * cfg.voxel_size
     z1 = prev_idx.astype(jnp.float32) * dist + dist * 0.5
     z2 = next_idx.astype(jnp.float32) * dist + dist * 0.5
-    z_star = (sdf1 * z2 - sdf2 * z1) / (sdf1 - sdf2 + 1e-10)
+    # sign-preserving denominator guard: a shallow crossing (sdf1 ~ sdf2)
+    # must not blow up the backward pass through the division
+    denom = sdf1 - sdf2
+    denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), 1e-6) + jnp.where(denom == 0, 1e-6, 0.0)
+    z_star = (sdf1 * z2 - sdf2 * z1) / denom
     z_star = jnp.where((z_star < z1) | (z_star > z2), 0.0, z_star)
     valid = (z_star > 1e-10) & ((sdf1 * sdf2) < 0)
 
@@ -392,11 +403,17 @@ def query_surface_points_render(
     )
     sdf_grid = processed_sdf_grid(params, cfg)
 
-    def sdf_sum(p):
-        s, _ = sdf_with_deform(params, cfg, sdf_grid, p, use_deform)
-        return s.sum(), s
-
-    gradient, sdf = jax.grad(sdf_sum, has_aux=True)(samp.pts)
+    if use_deform:
+        deform, correction, jac_warp, grad_corr = deform_mod.deform_with_jacobian_fwd(
+            params["warpnet"], samp.pts)
+        sdf_val, tri_grad = grid_ops.trilinear_sample_with_grad(
+            sdf_grid, samp.pts + deform, lo, hi)
+        sdf = sdf_val[..., 0] + correction[..., 0]
+        gradient = jnp.einsum("...ji,...i->...j", jac_warp, tri_grad[..., 0, :]) + grad_corr
+    else:
+        sdf_val, tri_grad = grid_ops.trilinear_sample_with_grad(sdf_grid, samp.pts, lo, hi)
+        sdf = sdf_val[..., 0]
+        gradient = tri_grad[..., 0, :]
     dist = cfg.stepsize * cfg.voxel_size
     s_val = compositing.s_val_schedule(global_step, cfg.s_ratio, cfg.s_start, cfg.step_start) \
         if not cfg.s_learn else params["s_val"]

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 EARLY_TERMINATION_T = 1e-3  # reference `render_utils_kernel.cu:597-600`
@@ -70,8 +71,11 @@ def neus_alpha_from_sdf(
     iter_cos = -jnp.maximum(-true_cos, 0.0)  # always non-positive
     est_next = sdf + iter_cos * dist * 0.5
     est_prev = sdf - iter_cos * dist * 0.5
-    prev_cdf = jnp.asarray(jnp.reciprocal(1.0 + jnp.exp(-est_prev * inv_s)))
-    next_cdf = jnp.asarray(jnp.reciprocal(1.0 + jnp.exp(-est_next * inv_s)))
+    # jax.nn.sigmoid, NOT 1/(1+exp(-x)): the naive form overflows in the
+    # backward pass once |x| > ~88 (inf/inf^2 -> NaN), which happens as the
+    # s-schedule sharpens and the deform correction grows the SDF magnitude
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
     p = prev_cdf - next_cdf
     c = prev_cdf
     return jnp.clip((p + 1e-5) / (c + 1e-5), 0.0, 1.0)

@@ -270,7 +270,7 @@ class JointTrainer:
         cfg = self.cfg
         return dict(
             n_active=self.state.n_active,
-            object_on=step <= cfg.object_train.N_iters,
+            object_on=cfg.object_train.N_iters > 0 and step <= cfg.object_train.N_iters,
             pose_on=step < self.pose_window and cfg.object_train.lr_pose > 0,
             fine_on=bool(cfg.scene_model.fine_sampling and step >= self.fine_start),
             depth_cons_on=bool(self.depth_cons_start >= 0 and step >= self.depth_cons_start),

@@ -1,0 +1,171 @@
+"""Training + evaluation CLI.
+
+Analog of the reference's `run.py` (`run.py:62-91,302-480`) and `eval.py`
+drivers: load a preset config, load data, run the joint reconstruction, then
+optionally render the test split and novel-view videos.
+
+Usage:
+    python run.py --config poseprobe_tpu/config/presets/dtu_scan1.py \
+        --datadir /path/to/DTU/scan1 [--render_test] [--render_video] [--steps N]
+    python run.py --synthetic          # hermetic procedural scene (no dataset)
+"""
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default="",
+                   help="path to a preset module exposing get_config()")
+    p.add_argument("--datadir", type=str, default="")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the procedural synthetic scene (no dataset needed)")
+    p.add_argument("--steps", type=int, default=0, help="override max_iter")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--render_test", action="store_true")
+    p.add_argument("--render_video", action="store_true")
+    p.add_argument("--export_mesh", action="store_true")
+    p.add_argument("--i_print", type=int, default=200)
+    p.add_argument("--i_validate", type=int, default=5000)
+    p.add_argument("--i_ckpt", type=int, default=5000)
+    p.add_argument("--no_test_optim", action="store_true",
+                   help="skip test-time photometric pose optimization")
+    p.add_argument("--matcher", type=str, default="auto",
+                   choices=["auto", "superglue", "classical"])
+    return p.parse_args()
+
+
+def load_config(args):
+    from poseprobe_tpu.config import config as cfg_mod
+
+    if args.synthetic or not args.config:
+        from poseprobe_tpu.models.object_sdf import ObjectConfig
+        from poseprobe_tpu.models.scene_nerf import SceneConfig
+
+        cfg = cfg_mod.ExperimentConfig(
+            expname="synthetic",
+            data=cfg_mod.DataConfig(dataset_type="synthetic", near=0.5, far=6.0),
+            object_model=ObjectConfig(xyz_min=(-0.56,) * 3, xyz_max=(0.56,) * 3,
+                                      num_voxels=64**3, num_voxels_base=64**3,
+                                      N_iters=4000, world_bound_scale=1.25),
+            object_train=cfg_mod.ObjectTrainConfig(N_iters=4000),
+            scene_model=SceneConfig(max_iter=20000),
+            scene_train=cfg_mod.SceneTrainConfig(max_iter=20000),
+            camera=cfg_mod.CameraConfig(incremental=True, incremental_step=400),
+        )
+        return cfg
+    spec = importlib.util.spec_from_file_location("preset", args.config)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if args.datadir:
+        return mod.get_config(datadir=args.datadir)
+    return mod.get_config()
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args)
+    if args.seed is not None:
+        from poseprobe_tpu.config.config import replace
+        cfg = replace(cfg, seed=args.seed)
+
+    import numpy as np
+
+    from poseprobe_tpu.core import align
+    from poseprobe_tpu.data.loaders import load_data
+    from poseprobe_tpu.eval import evaluator, mesh as mesh_mod, video as video_mod
+    from poseprobe_tpu.models import object_sdf
+    from poseprobe_tpu.train import state as state_mod
+    from poseprobe_tpu.train.trainer import JointTrainer
+    from poseprobe_tpu.utils.logging import MetricsLogger
+
+    out_dir = os.path.join(cfg.basedir, cfg.expname)
+    os.makedirs(out_dir, exist_ok=True)
+
+    print(f"[run] loading data ({cfg.data.dataset_type}) ...")
+    data = load_data(cfg.data, matcher_backend=args.matcher)
+    print(f"[run] {data.n_train} train views, {len(data.i_test)} test views, "
+          f"{data.H}x{data.W}")
+
+    trainer = JointTrainer(cfg, data)
+    logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
+
+    max_iter = args.steps or cfg.scene_train.max_iter
+    t0 = time.time()
+
+    def on_log(h):
+        logger.log(h)
+        if h["step"] % args.i_print == 0:
+            eps = time.time() - t0
+            print(f"[{h['step']:6d}/{max_iter}] "
+                  f"psnr_scene {h.get('psnr_scene', 0):6.2f} "
+                  f"psnr_obj {h.get('psnr_obj', float('nan')):6.2f} "
+                  f"loss {h.get('loss_total', 0):8.4f} "
+                  f"views {h['n_active']} "
+                  f"({h['step'] / max(eps, 1e-9):.2f} it/s)")
+        if args.i_ckpt and h["step"] % args.i_ckpt == 0:
+            state_mod.save_checkpoint(os.path.join(out_dir, "last_ckpt.pkl"),
+                                      trainer.state, configs={"expname": cfg.expname})
+
+    trainer.fit(max_iter, log_every=min(args.i_print, 100), callback=on_log)
+    state_mod.save_checkpoint(os.path.join(out_dir, "last_ckpt.pkl"), trainer.state,
+                              configs={"expname": cfg.expname})
+    print(f"[run] training done in {time.time() - t0:.0f}s")
+
+    # final pose error report
+    cur = trainer.current_pose()
+    aligned, _ = align.prealign_w2c_small_camera_systems(cur, trainer.poses_gt)
+    err = align.evaluate_camera_alignment(aligned, trainer.poses_gt)
+    print(f"[run] train-pose error: R {float(err['R'].mean()):.3f} deg, "
+          f"t {float(err['t'].mean()):.4f} (x100)")
+
+    if args.render_test and len(data.i_test) > 0:
+        import jax.numpy as jnp
+
+        print("[run] evaluating test split ...")
+        results = evaluator.evaluate_full(
+            trainer.state.scene_params, cfg.scene_model,
+            cur, trainer.poses_gt,
+            data.images[data.i_test], jnp.asarray(data.poses_gt_w2c[data.i_test]),
+            jnp.asarray(data.Ks[data.i_test]), (data.near, data.far),
+            test_photo=not args.no_test_optim and cfg.scene_train.test_photo,
+            test_iter=cfg.scene_train.test_iter)
+        print(json.dumps(results, indent=2))
+        with open(os.path.join(out_dir, f"{cfg.expname}.json"), "w") as f:
+            json.dump(results, f, indent=2)
+
+    if args.export_mesh:
+        print("[run] extracting mesh ...")
+        vol = object_sdf.extract_sdf_volume(trainer.state.obj_params, cfg.object_model,
+                                            resolution=128)
+        verts, tris = mesh_mod.extract_mesh_world(
+            vol, cfg.object_model.xyz_min_np, cfg.object_model.xyz_max_np,
+            scale_mat=data.scale_mats)
+        os.makedirs(os.path.join(out_dir, "meshes"), exist_ok=True)
+        mesh_mod.save_ply(os.path.join(out_dir, "meshes", "deform_final.ply"), verts, tris)
+
+    if args.render_video:
+        import jax.numpy as jnp
+
+        print("[run] rendering novel-view video ...")
+        c2w = np.asarray(trainer.current_pose())
+        c2w = np.linalg.inv(np.concatenate(
+            [c2w, np.tile(np.array([[[0, 0, 0, 1.0]]]), (c2w.shape[0], 1, 1))], axis=1))[:, :3]
+        spiral_c2w = video_mod.spiral_poses_from_trajectory(c2w, n=40)
+        spiral_w2c = np.stack([np.concatenate(
+            [p[:3, :3].T, (-p[:3, :3].T @ p[:3, 3])[:, None]], 1) for p in spiral_c2w])
+        video_mod.render_video(trainer.state.scene_params, cfg.scene_model,
+                               spiral_w2c, data.Ks[data.i_train[0]],
+                               data.H, data.W, (data.near, data.far),
+                               os.path.join(out_dir, "spiral_rgb.mp4"),
+                               depth_out_path=os.path.join(out_dir, "spiral_depth.mp4"))
+    print("[run] all done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Parity tests: custom trilerp VJPs vs plain autodiff; TensoRF grid."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from poseprobe_tpu.ops import grid as G
+from poseprobe_tpu.ops import tensorf as T
+
+
+class TestTrilinearCustomVJP:
+    def setup_method(self):
+        self.g = jax.random.normal(jax.random.PRNGKey(0), (3, 6, 7, 8))
+        self.lo = jnp.array([-1.0, -2.0, 0.0])
+        self.hi = jnp.array([1.0, 0.0, 3.0])
+        span = self.hi - self.lo
+        self.pts = jax.random.uniform(jax.random.PRNGKey(1), (30, 3)) * span * 1.2 \
+            + self.lo - 0.1 * span  # includes out-of-box points
+
+    def test_value_and_grads_match_autodiff(self):
+        ct = jax.random.normal(jax.random.PRNGKey(2), (30, 3))
+        v1 = G.trilinear_sample(self.g, self.pts, self.lo, self.hi)
+        v2 = G._trilinear_sample_reference(self.g, self.pts, self.lo, self.hi)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+        def f(impl):
+            def inner(g_, p_):
+                return (impl(g_, p_, self.lo, self.hi) * ct).sum()
+            return jax.grad(inner, argnums=(0, 1))(self.g, self.pts)
+
+        gg1, gp1 = f(G.trilinear_sample)
+        gg2, gp2 = f(G._trilinear_sample_reference)
+        np.testing.assert_allclose(np.asarray(gg1), np.asarray(gg2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2), atol=1e-4)
+
+    def test_value_grad_variant_matches_autodiff(self):
+        ctv = jax.random.normal(jax.random.PRNGKey(3), (30, 3))
+        ctg = jax.random.normal(jax.random.PRNGKey(4), (30, 3, 3))
+
+        def f(impl):
+            def inner(g_, p_):
+                v, gr = impl(g_, p_, self.lo, self.hi)
+                return (v * ctv).sum() + (gr * ctg).sum()
+            return jax.grad(inner, argnums=(0, 1))(self.g, self.pts)
+
+        v1, g1 = G.trilinear_sample_with_grad(self.g, self.pts, self.lo, self.hi)
+        v2, g2 = G._trilinear_vg_reference(self.g, self.pts, self.lo, self.hi)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+        hg1, hp1 = f(G.trilinear_sample_with_grad)
+        hg2, hp2 = f(G._trilinear_vg_reference)
+        np.testing.assert_allclose(np.asarray(hg1), np.asarray(hg2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hp1), np.asarray(hp2), atol=1e-4)
+
+
+class TestTensoRF:
+    def test_dense_expansion_matches_sampling(self):
+        params = T.init_tensorf_params(jax.random.PRNGKey(0), channels=4,
+                                       world_size=(5, 6, 7), n_comp=3)
+        dense = T.tensorf_to_dense(params)  # [4, 5, 6, 7]
+        lo, hi = jnp.zeros(3), jnp.ones(3)
+        # query exactly at grid nodes: must equal the dense expansion
+        xs = jnp.linspace(0, 1, 5)
+        ys = jnp.linspace(0, 1, 6)
+        zs = jnp.linspace(0, 1, 7)
+        X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+        pts = jnp.stack([X, Y, Z], -1)
+        out = T.tensorf_sample(params, pts, lo, hi)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(jnp.moveaxis(dense, 0, -1)),
+                                   atol=1e-4)
+
+    def test_single_channel_mode(self):
+        params = T.init_tensorf_params(jax.random.PRNGKey(1), channels=1,
+                                       world_size=(4, 4, 4), n_comp=2)
+        assert "f_vec" not in params
+        out = T.tensorf_sample(params, jnp.zeros((10, 3)) + 0.5, jnp.zeros(3), jnp.ones(3))
+        assert out.shape == (10,)
+
+    def test_tv_differentiable(self):
+        params = T.init_tensorf_params(jax.random.PRNGKey(2), channels=4,
+                                       world_size=(4, 4, 4), n_comp=2)
+        g = jax.grad(lambda p: T.tensorf_total_variation(p))(params)
+        assert float(jnp.abs(g["xy_plane"]).sum()) > 0
+
+    def test_resize(self):
+        params = T.init_tensorf_params(jax.random.PRNGKey(3), channels=4,
+                                       world_size=(4, 5, 6), n_comp=2)
+        up = T.tensorf_resize(params, (8, 10, 12))
+        assert up["xy_plane"].shape == (2, 8, 10)
+        assert up["z_vec"].shape[1] == 12
+
+    def test_mask_grid(self):
+        sdf = jnp.ones((1, 8, 8, 8)).at[0, 4, 4, 4].set(-1.0)
+        mask = T.make_mask_grid(sdf, jnp.zeros(3), jnp.ones(3), thres=0.0)
+        inside = T.mask_grid_lookup(mask, jnp.array([[4 / 7, 4 / 7, 4 / 7]]))
+        outside = T.mask_grid_lookup(mask, jnp.array([[0.0, 0.0, 0.0]]))
+        assert bool(inside[0]) and not bool(outside[0])
