@@ -1,0 +1,97 @@
+"""Standalone evaluation CLI: load a checkpoint, evaluate NVS + poses, render video.
+
+Analog of the reference `eval.py` driver: reload the trained state, align the
+optimized poses to GT, run per-test-image test-time photometric pose
+optimization, report PSNR/SSIM(/LPIPS) and rotation/translation errors, and
+optionally render novel-view videos and evaluate the extracted mesh.
+
+Usage:
+    python eval.py --config <preset.py> --datadir <path> --ckpt logs/<exp>/last_ckpt.pkl \
+        [--render_video] [--eval_mesh --gt_stl path/to/stl_total.ply]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default="")
+    p.add_argument("--datadir", type=str, default="")
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--out_dir", type=str, default="")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--no_test_optim", action="store_true")
+    p.add_argument("--render_video", action="store_true")
+    p.add_argument("--eval_mesh", action="store_true")
+    p.add_argument("--gt_stl", type=str, default="")
+    p.add_argument("--matcher", type=str, default="auto")
+    args = p.parse_args()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    import run as run_mod
+    from poseprobe_tpu.core import align
+    from poseprobe_tpu.data.loaders import load_data
+    from poseprobe_tpu.eval import dtu_protocol, evaluator, mesh as mesh_mod, video as video_mod
+    from poseprobe_tpu.models import object_sdf
+    from poseprobe_tpu.train import state as state_mod
+    from poseprobe_tpu.train.trainer import JointTrainer
+
+    cfg = run_mod.load_config(args)
+    data = load_data(cfg.data, matcher_backend=args.matcher)
+    trainer = JointTrainer(cfg, data)
+    payload = state_mod.load_checkpoint(args.ckpt)
+    trainer.state = state_mod.restore_state(trainer.state, payload)
+    print(f"[eval] restored step {trainer.state.step} from {args.ckpt}")
+
+    out_dir = args.out_dir or os.path.join(cfg.basedir, cfg.expname, "eval")
+    os.makedirs(out_dir, exist_ok=True)
+
+    cur = trainer.current_pose()
+    results = evaluator.evaluate_full(
+        trainer.state.scene_params, cfg.scene_model,
+        cur, trainer.poses_gt,
+        data.images[data.i_test], jnp.asarray(data.poses_gt_w2c[data.i_test]),
+        jnp.asarray(data.Ks[data.i_test]), (data.near, data.far),
+        test_photo=not args.no_test_optim and cfg.scene_train.test_photo,
+        test_iter=cfg.scene_train.test_iter)
+    results["iteration"] = trainer.state.step
+    print(json.dumps(results, indent=2))
+    with open(os.path.join(out_dir, f"{cfg.expname}.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+    if args.eval_mesh:
+        vol = object_sdf.extract_sdf_volume(trainer.state.obj_params, cfg.object_model,
+                                            resolution=256)
+        verts, tris = mesh_mod.extract_mesh_world(
+            vol, cfg.object_model.xyz_min_np, cfg.object_model.xyz_max_np,
+            scale_mat=data.scale_mats)
+        mesh_mod.save_ply(os.path.join(out_dir, "mesh.ply"), verts, tris)
+        if args.gt_stl and os.path.exists(args.gt_stl):
+            gt_pts = dtu_protocol.load_stl_points(args.gt_stl)
+            chamfer = dtu_protocol.evaluate_mesh_dtu(verts, tris, gt_pts)
+            print("[eval] chamfer:", chamfer)
+            with open(os.path.join(out_dir, "chamfer.json"), "w") as f:
+                json.dump(chamfer, f, indent=2)
+
+    if args.render_video:
+        c2w = np.asarray(jnp.linalg.inv(
+            jnp.concatenate([cur, jnp.tile(jnp.asarray([[[0, 0, 0, 1.0]]]), (cur.shape[0], 1, 1))],
+                            axis=1)))[:, :3]
+        spiral_c2w = video_mod.spiral_poses_from_trajectory(c2w, n=60)
+        spiral_w2c = np.stack([np.concatenate(
+            [s[:3, :3].T, (-s[:3, :3].T @ s[:3, 3])[:, None]], 1) for s in spiral_c2w])
+        video_mod.render_video(trainer.state.scene_params, cfg.scene_model,
+                               spiral_w2c, data.Ks[data.i_train[0]], data.H, data.W,
+                               (data.near, data.far),
+                               os.path.join(out_dir, "spiral_rgb.mp4"),
+                               depth_out_path=os.path.join(out_dir, "spiral_depth.mp4"))
+    print("[eval] done.")
+
+
+if __name__ == "__main__":
+    main()
