@@ -113,12 +113,23 @@ def nerf_forward(mlp: dict, cfg: SceneConfig, points: jnp.ndarray, ray: jnp.ndar
     density = jax.nn.softplus(raw_density) if cfg.density_activ == "softplus" else jax.nn.relu(raw_density)
 
     if cfg.view_dep:
+        # the view encoding is constant along the samples axis: encode per-ray
+        # and push it through the first rgb matmul BEFORE broadcasting, saving
+        # S x the PE transcendentals and S x the matmul FLOPs for that slice
         ray_unit = ray / (jnp.linalg.norm(ray, axis=-1, keepdims=True) + 1e-12)
-        ray_unit = jnp.broadcast_to(ray_unit[..., None, :], points.shape)
         ray_enc = pe.posenc_scene(ray_unit, cfg.L_view, progress, cfg.barf_c2f,
                                   include_pi=cfg.include_pi, add_raw=cfg.add_raw_rays)
-        feat = jnp.concatenate([feat, ray_enc], axis=-1)
-    rgb = apply_mlp(mlp["rgb"], feat, final_activation=jax.nn.sigmoid)
+        first = mlp["rgb"][0]
+        feat_dim = feat.shape[-1]
+        h = feat @ first["w"][:feat_dim] + first["b"]
+        h_view = ray_enc @ first["w"][feat_dim:]
+        h = h + h_view[..., None, :]
+        if len(mlp["rgb"]) > 1:
+            rgb = apply_mlp(mlp["rgb"][1:], jax.nn.relu(h), final_activation=jax.nn.sigmoid)
+        else:
+            rgb = jax.nn.sigmoid(h)
+    else:
+        rgb = apply_mlp(mlp["rgb"], feat, final_activation=jax.nn.sigmoid)
     return {"rgb_samples": rgb, "density_samples": density}
 
 

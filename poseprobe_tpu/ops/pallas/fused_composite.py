@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: fused NeuS alpha -> transmittance -> composite.
+
+Fuses the object branch's compositing tail — NeuS alpha from SDF
+(`voxurf_coarse.py:483-519`), the sequential transmittance scan with early
+termination (the CUDA `alpha2weight`, `render_utils_kernel.cu:577-707`), and
+the per-ray weighted rgb/step sums (`segment_coo`, `voxurf_coarse.py:1034-1061`)
+— into ONE pass over the samples axis held in VMEM, instead of the ~6
+HBM-roundtripping elementwise/scan ops XLA emits.
+
+Layout: inputs are transposed to [S, B] blocks so the sequential sample loop
+walks sublanes while rays ride the 128-wide lane dimension. The backward pass
+reuses the exact jnp formulation via jax.vjp (identical math), so gradients
+stay correct without a hand-written reverse kernel.
+
+Falls back to the pure-jnp path automatically off-TPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import compositing
+
+BLOCK_RAYS = 256
+
+
+def _jnp_reference(sdf, cos_term, mask, rgb, step, inv_s, dist):
+    """Pure-jnp twin (ground truth for the kernel and the VJP)."""
+    est_next = sdf + cos_term * dist * 0.5
+    est_prev = sdf - cos_term * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    alpha = jnp.where(mask, alpha, 0.0)
+    weights, alphainv = compositing.alpha2weights(alpha)
+    rgb_m = (weights[..., None] * rgb).sum(axis=1)
+    n_step = (weights * step).sum(axis=1)
+    return weights, alphainv, rgb_m, n_step
+
+
+def _kernel(sdf_ref, cos_ref, mask_ref, rgb_ref, step_ref, scalars_ref,
+            w_ref, ainv_ref, rgbm_ref, nstep_ref):
+    """One block: [S, B] sample-major layout; sequential scan over S."""
+    import jax.numpy as jnp  # noqa: F811 (kernel-local)
+
+    inv_s = scalars_ref[0]
+    dist = scalars_ref[1]
+    S = sdf_ref.shape[0]
+    B = sdf_ref.shape[1]
+
+    sdf = sdf_ref[...]
+    cos_term = cos_ref[...]
+    mask = mask_ref[...]
+    est_next = sdf + cos_term * (dist * 0.5)
+    est_prev = sdf - cos_term * (dist * 0.5)
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    alpha = jnp.where(mask > 0, alpha, 0.0)
+    one_minus = jnp.clip(1.0 - alpha, 1e-10, 1.0)
+    # exclusive cumulative product along S (sublane axis)
+    T = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(one_minus[:1]), one_minus[:-1]], axis=0), axis=0)
+    weights = jnp.where(T > compositing.EARLY_TERMINATION_T, T * alpha, 0.0)
+    w_ref[...] = weights
+    ainv_ref[...] = (T * one_minus)[-1:]
+    rgb = rgb_ref[...]  # [S, B, 3] -> stored as [S, 3B]? see wrapper reshape
+    nstep_ref[...] = jnp.sum(weights * step_ref[...], axis=0, keepdims=True)
+    # rgb composite: rgb_ref holds [S, B*3]; weights broadcast per channel
+    wrep = jnp.concatenate([weights, weights, weights], axis=1)
+    rgbm_ref[...] = jnp.sum(wrep * rgb, axis=0, keepdims=True)
+
+
+def _pallas_forward(sdf_t, cos_t, mask_t, rgb_t, step_t, scalars, S: int, B: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_blocks = B // BLOCK_RAYS
+    grid = (n_blocks,)
+
+    def in_spec(width):
+        return pl.BlockSpec((S, BLOCK_RAYS * width), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            in_spec(1), in_spec(1), in_spec(1), in_spec(3), in_spec(1),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, BLOCK_RAYS), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_RAYS), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_RAYS * 3), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_RAYS), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B * 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ],
+    )(sdf_t, cos_t, mask_t, rgb_t, step_t, scalars)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_alpha_composite(sdf, cos_term, mask, rgb, step, inv_s, dist):
+    """(weights [N, S], alphainv [N], rgb_marched [N, 3], n_step [N]).
+
+    sdf/cos_term/step: [N, S]; mask: [N, S] bool; rgb: [N, S, 3].
+    """
+    return _fused_forward(sdf, cos_term, mask, rgb, step, inv_s, dist)
+
+
+def _fused_forward(sdf, cos_term, mask, rgb, step, inv_s, dist):
+    N, S = sdf.shape
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu or N % BLOCK_RAYS != 0:
+        return _jnp_reference(sdf, cos_term, mask, rgb, step, inv_s, dist)
+    # pad S to a sublane multiple; padded rows carry mask=0 -> alpha=0, which
+    # leaves the transmittance scan and the sums untouched
+    S_pad = -(-S // 8) * 8
+    pad = S_pad - S
+    sdf_t = jnp.pad(sdf, ((0, 0), (0, pad)), constant_values=1.0).T
+    cos_t = jnp.pad(cos_term, ((0, 0), (0, pad))).T
+    mask_t = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, pad))).T
+    step_t = jnp.pad(step, ((0, 0), (0, pad))).T
+    nb = N // BLOCK_RAYS
+    # rgb [N, S, 3] -> [S_pad, nb, 3, B] -> [S_pad, nb*3*B]: per ray-block the
+    # kernel sees [S, 3B] columns laid out as [r(B) | g(B) | b(B)]
+    rgb_p = jnp.pad(rgb, ((0, 0), (0, pad), (0, 0)))
+    rgb_t = jnp.moveaxis(rgb_p, 0, 1).reshape(S_pad, nb, BLOCK_RAYS, 3)
+    rgb_t = jnp.swapaxes(rgb_t, 2, 3).reshape(S_pad, nb * 3 * BLOCK_RAYS)
+    scalars = jnp.stack([jnp.asarray(inv_s, jnp.float32), jnp.asarray(dist, jnp.float32)])
+    w_t, ainv, rgbm, nstep = _pallas_forward(sdf_t, cos_t, mask_t, rgb_t, step_t,
+                                             scalars, S_pad, N)
+    rgbm = rgbm.reshape(nb, 3, BLOCK_RAYS)
+    rgbm = jnp.moveaxis(rgbm, 1, 2).reshape(N, 3)
+    return w_t.T[:, :S], ainv[0], rgbm, nstep[0]
+
+
+def _fused_fwd(sdf, cos_term, mask, rgb, step, inv_s, dist):
+    out = _fused_forward(sdf, cos_term, mask, rgb, step, inv_s, dist)
+    return out, (sdf, cos_term, mask, rgb, step, inv_s, dist)
+
+
+def _fused_bwd(res, cts):
+    sdf, cos_term, mask, rgb, step, inv_s, dist = res
+    _, vjp = jax.vjp(lambda s, c, r, st, i, d: _jnp_reference(s, c, mask, r, st, i, d),
+                     sdf, cos_term, rgb, step, inv_s, dist)
+    d_sdf, d_cos, d_rgb, d_step, d_invs, d_dist = vjp(cts)
+    return d_sdf, d_cos, jnp.zeros_like(mask), d_rgb, d_step, d_invs, d_dist
+
+
+fused_alpha_composite.defvjp(_fused_fwd, _fused_bwd)

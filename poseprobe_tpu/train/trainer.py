@@ -64,6 +64,11 @@ class JointTrainer:
         self.sampler_counts = jnp.asarray(data.samplers.counts)
         self.obj_matches = jnp.asarray(data.obj_matches)
         self.scene_matches = jnp.asarray(data.scene_matches)
+        # feature maps for the surface-feature agreement loss (ref eval.py:308)
+        self.feature_maps = None
+        if cfg.object_train.weight_surface_projection > 0:
+            from ..eval.vgg_features import get_multi_features
+            self.feature_maps = jnp.asarray(get_multi_features(data.images[it]))
         self.pair_j = jnp.asarray(data.pair_j)
         self.n_train = data.n_train
         self.H, self.W = data.H, data.W
@@ -171,6 +176,20 @@ class JointTrainer:
                     obj_loss = obj_loss + ot.projection_dis_error * proj_err \
                         + ot.weight_near_surface * near_surf
                     metrics["proj_err"] = proj_err
+
+                if ot.weight_surface_projection > 0 and pose_on and self.feature_maps is not None:
+                    # VGG surface-feature agreement (ref recon_scene.py:610-619)
+                    r2 = jax.random.randint(keys[8], (), 0, n_active)
+                    n_feat_rays = min(256, ot.N_rand)
+                    feat_loss = projection_losses.surface_feature_loss(
+                        obj_p, oc, current_pose, self.Ks,
+                        batch.rays_o[:n_feat_rays], batch.rays_d[:n_feat_rays],
+                        id_i=r2, id_j=self.pair_j[r2],
+                        feature_maps=self.feature_maps, global_step=step_f,
+                        inverse_y=self.data.inverse_y, use_deform=True,
+                        near=self.data.near, far=self.data.far)
+                    obj_loss = obj_loss + ot.weight_surface_projection * feat_loss
+                    metrics["feat_loss"] = feat_loss
                 total = total + 0.1 * obj_loss  # joint mix (recon_scene.py:648)
 
             # ---------------- scene branch (active views only) ----------------

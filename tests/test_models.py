@@ -226,3 +226,41 @@ class TestPoseRefine:
         n1 = pose_refine.make_pose_noise(jax.random.PRNGKey(5), 4, 0.15)
         n2 = pose_refine.make_pose_noise(jax.random.PRNGKey(5), 4, 0.15)
         np.testing.assert_allclose(np.asarray(n1), np.asarray(n2))
+
+
+class TestSceneViewSplitParity:
+    def test_rgb_head_split_matches_concat_formulation(self):
+        # the per-ray view-PE push-through must equal the naive
+        # concat([feat, ray_enc]) @ W formulation
+        import jax
+        import jax.numpy as jnp
+        from poseprobe_tpu.ops import pe as pe_mod
+
+        cfg = scene_nerf.SceneConfig(layers_feat=(32,) * 3, layers_rgb=(16, 3), skip=(1,),
+                                     L_3D=4, L_view=2, barf_c2f=None)
+        params = scene_nerf.init_scene_params(jax.random.PRNGKey(0), cfg)
+        pts = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 12, 3))
+        ray = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 3))
+        out = scene_nerf.nerf_forward(params["nerf"], cfg, pts, ray, 1.0)
+
+        # naive reference formulation
+        enc = pe_mod.posenc_scene(pts, cfg.L_3D, 1.0, None)
+        feat = enc
+        for li, layer in enumerate(params["nerf"]["feat"]):
+            if li in cfg.skip:
+                feat = jnp.concatenate([feat, enc], axis=-1)
+            feat = feat @ layer["w"] + layer["b"]
+            if li == len(params["nerf"]["feat"]) - 1:
+                feat = feat[..., 1:]
+            feat = jax.nn.relu(feat)
+        ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+        ray_enc = pe_mod.posenc_scene(
+            jnp.broadcast_to(ray_unit[..., None, :], pts.shape), cfg.L_view, 1.0, None)
+        x = jnp.concatenate([feat, ray_enc], -1)
+        for li, layer in enumerate(params["nerf"]["rgb"]):
+            x = x @ layer["w"] + layer["b"]
+            if li != len(params["nerf"]["rgb"]) - 1:
+                x = jax.nn.relu(x)
+        rgb_ref = jax.nn.sigmoid(x)
+        np.testing.assert_allclose(np.asarray(out["rgb_samples"]), np.asarray(rgb_ref),
+                                   atol=2e-5)

@@ -1,0 +1,95 @@
+"""Pallas fused compositing kernel: parity with the jnp reference (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from poseprobe_tpu.ops.pallas import fused_composite as FC
+
+
+def make_inputs(N=256, S=40, seed=0):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 5)
+    sdf = jax.random.normal(ks[0], (N, S)) * 0.5
+    cos = -jnp.abs(jax.random.normal(ks[1], (N, S)))
+    mask = jax.random.uniform(ks[2], (N, S)) > 0.2
+    rgb = jax.random.uniform(ks[3], (N, S, 3))
+    step = jnp.cumsum(jnp.abs(jax.random.normal(ks[4], (N, S))) * 0.01, axis=1)
+    return sdf, cos, mask, rgb, step
+
+
+class TestFusedComposite:
+    def test_reference_matches_unfused_ops(self):
+        # the jnp twin must equal the compositional ops it replaces
+        from poseprobe_tpu.ops import compositing
+        sdf, cos, mask, rgb, step = make_inputs()
+        w, ainv, rgbm, nstep = FC._jnp_reference(sdf, cos, mask, rgb, step, 10.0, 0.02)
+        est_next = sdf + cos * 0.01
+        est_prev = sdf - cos * 0.01
+        alpha = jnp.clip((jax.nn.sigmoid(est_prev * 10) - jax.nn.sigmoid(est_next * 10) + 1e-5)
+                         / (jax.nn.sigmoid(est_prev * 10) + 1e-5), 0, 1)
+        alpha = jnp.where(mask, alpha, 0.0)
+        w2, ainv2 = compositing.alpha2weights(alpha)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ainv), np.asarray(ainv2), atol=1e-6)
+
+    def test_kernel_matches_reference_interpret(self):
+        # run the actual Pallas kernel in interpreter mode and compare
+        from jax.experimental import pallas as pl
+        sdf, cos, mask, rgb, step = make_inputs(N=FC.BLOCK_RAYS, S=24)
+        ref = FC._jnp_reference(sdf, cos, mask, rgb, step, 8.0, 0.05)
+
+        import functools
+        orig = pl.pallas_call
+        with _interpret_pallas():
+            out = _force_tpu_path(sdf, cos, mask, rgb, step, 8.0, 0.05)
+        for a, b, name in zip(out, ref, ["weights", "alphainv", "rgb", "nstep"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                       err_msg=name)
+
+    def test_gradients_flow(self):
+        sdf, cos, mask, rgb, step = make_inputs(N=64, S=16)
+
+        def loss(sdf, rgb):
+            w, ainv, rgbm, nstep = FC.fused_alpha_composite(sdf, cos, mask, rgb, step, 8.0, 0.05)
+            return rgbm.sum() + nstep.sum() + w.sum() * 0.1
+
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(sdf, rgb)
+        assert np.all(np.isfinite(np.asarray(g1)))
+        assert float(jnp.abs(g2).sum()) > 0
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _interpret_pallas():
+    from jax.experimental import pallas as pl
+    import functools
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        yield
+    finally:
+        pl.pallas_call = orig
+
+
+def _force_tpu_path(sdf, cos, mask, rgb, step, inv_s, dist):
+    """Invoke the pallas code path regardless of platform (interpret mode)."""
+    import poseprobe_tpu.ops.pallas.fused_composite as FCm
+    N, S = sdf.shape
+    S_pad = -(-S // 8) * 8
+    pad = S_pad - S
+    import jax.numpy as jnp
+    sdf_t = jnp.pad(sdf, ((0, 0), (0, pad)), constant_values=1.0).T
+    cos_t = jnp.pad(cos, ((0, 0), (0, pad))).T
+    mask_t = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, pad))).T
+    step_t = jnp.pad(step, ((0, 0), (0, pad))).T
+    nb = N // FCm.BLOCK_RAYS
+    rgb_p = jnp.pad(rgb, ((0, 0), (0, pad), (0, 0)))
+    rgb_t = jnp.moveaxis(rgb_p, 0, 1).reshape(S_pad, nb, FCm.BLOCK_RAYS, 3)
+    rgb_t = jnp.swapaxes(rgb_t, 2, 3).reshape(S_pad, nb * 3 * FCm.BLOCK_RAYS)
+    scalars = jnp.stack([jnp.asarray(inv_s, jnp.float32), jnp.asarray(dist, jnp.float32)])
+    w_t, ainv, rgbm, nstep = FCm._pallas_forward(sdf_t, cos_t, mask_t, rgb_t, step_t, scalars, S_pad, N)
+    rgbm = rgbm.reshape(nb, 3, FCm.BLOCK_RAYS)
+    rgbm = jnp.moveaxis(rgbm, 1, 2).reshape(N, 3)
+    return w_t.T[:, :S], ainv[0], rgbm, nstep[0]
