@@ -1,0 +1,146 @@
+"""Evaluator stack: test-time pose optimization, full evaluation, video paths, vis."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poseprobe_tpu.core import align, lie, pose
+from poseprobe_tpu.eval import evaluator, video as video_mod
+from poseprobe_tpu.models import scene_nerf
+from poseprobe_tpu.utils import profiling, vis
+
+
+CFG = scene_nerf.SceneConfig(layers_feat=(32,) * 4, layers_rgb=(16, 3), skip=(2,),
+                             L_3D=4, L_view=2, sample_intvs=16, sample_intvs_fine=16,
+                             fine_sampling=False, barf_c2f=None, max_iter=100)
+
+
+@pytest.fixture(scope="module")
+def trained_scene():
+    """A scene NeRF overfit to a tiny synthetic scene with known poses."""
+    import optax
+
+    from poseprobe_tpu.data.synthetic import make_synthetic_scene
+
+    data = make_synthetic_scene(n_train=3, n_test=1, H=32, W=32, seed=5)
+    params = scene_nerf.init_scene_params(jax.random.PRNGKey(0), CFG)
+    poses = jnp.asarray(data.poses_gt_w2c[data.i_train])
+    Ks = jnp.asarray(data.Ks[data.i_train])
+    images = jnp.asarray(data.images[data.i_train])
+    opt = optax.adam(5e-3)
+    st = opt.init(params)
+
+    from poseprobe_tpu.core import rays as rays_mod
+
+    @jax.jit
+    def step(params, st, rng):
+        ray_idx = jax.random.randint(rng, (3, 256), 0, 32 * 32)
+        pixels = jnp.stack([(ray_idx % 32).astype(jnp.float32),
+                            (ray_idx // 32).astype(jnp.float32)], -1)
+
+        def loss_fn(p):
+            center, ray = rays_mod.get_center_and_ray_at_pixels(poses, pixels, Ks)
+            out = scene_nerf.render_rays(p, CFG, center, ray, (data.near, data.far),
+                                         1.0, rng, compute_fine=False)
+            target = jax.vmap(lambda img, idx: img.reshape(-1, 3)[idx])(images, ray_idx)
+            return ((out["rgb"] - target) ** 2).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, st = opt.update(g, st)
+        return optax.apply_updates(params, up), st, loss
+
+    key = jax.random.PRNGKey(1)
+    for i in range(300):
+        key, sub = jax.random.split(key)
+        params, st, loss = step(params, st, sub)
+    return params, data
+
+
+class TestEvaluator:
+    def test_render_full_shapes(self, trained_scene):
+        params, data = trained_scene
+        out = evaluator.render_full(params, CFG, jnp.asarray(data.poses_gt_w2c[0]),
+                                    jnp.asarray(data.Ks[0]), 32, 32,
+                                    (data.near, data.far), chunk=512)
+        assert out["rgb"].shape == (32, 32, 3)
+        assert np.isfinite(np.asarray(out["rgb"])).all()
+
+    def test_test_time_pose_optim_improves_pose(self, trained_scene):
+        params, data = trained_scene
+        gt_pose = jnp.asarray(data.poses_gt_w2c[0])
+        # perturb and recover
+        noise = lie.se3_to_SE3(jnp.asarray([[0.02, -0.01, 0.015, 0.01, -0.02, 0.01]]))[0]
+        noisy = pose.compose_pair(noise, gt_pose)
+        recovered = evaluator.test_time_pose_optim(
+            params, CFG, noisy, jnp.asarray(data.Ks[0]),
+            jnp.asarray(data.images[0]), (data.near, data.far),
+            n_iters=60, lr=2e-3, rand_rays=512)
+        err_before = align.evaluate_camera_alignment(noisy[None], gt_pose[None])
+        err_after = align.evaluate_camera_alignment(recovered[None], gt_pose[None])
+        assert float(err_after["R"][0]) < float(err_before["R"][0])
+
+    def test_evaluate_full_outputs(self, trained_scene):
+        params, data = trained_scene
+        train_poses = jnp.asarray(data.poses_gt_w2c[data.i_train])
+        results = evaluator.evaluate_full(
+            params, CFG, train_poses, train_poses,
+            data.images[data.i_test], jnp.asarray(data.poses_gt_w2c[data.i_test]),
+            jnp.asarray(data.Ks[data.i_test]), (data.near, data.far),
+            test_photo=False)
+        assert set(results) >= {"rot_error", "trans_error", "psnr", "ssim"}
+        assert results["rot_error"] < 0.1  # identical pose sets align exactly
+        assert results["psnr"] > 10.0
+
+
+class TestVideoAndVis:
+    def test_oscillation_poses(self):
+        anchor = lie.se3_to_SE3(jnp.asarray([0.1, 0, 0, 0, 0, 2.0]))
+        poses = video_mod.oscillation_poses(anchor, n=8)
+        assert poses.shape == (8, 3, 4)
+        assert np.isfinite(np.asarray(poses)).all()
+
+    def test_spiral_poses(self):
+        c2w = np.tile(np.eye(3, 4, dtype=np.float32)[None], (3, 1, 1))
+        c2w[:, 2, 3] = [-3.0, -3.1, -2.9]
+        c2w[:, 0, 3] = [-0.2, 0.0, 0.2]
+        sp = video_mod.spiral_poses_from_trajectory(c2w, n=12)
+        assert sp.shape == (12, 3, 4)
+        # rotations stay orthonormal
+        RtR = np.einsum("nij,nik->njk", sp[:, :3, :3], sp[:, :3, :3])
+        np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (12, 3, 3)), atol=1e-5)
+
+    def test_validation_panel(self):
+        img = np.random.rand(16, 16, 3).astype(np.float32)
+        panel = vis.validation_panel(img, img, np.random.rand(16, 16), np.random.rand(16, 16))
+        assert panel.shape == (16, 64, 3) and panel.dtype == np.uint8
+
+    def test_pose_plot_and_match_plot(self, tmp_path):
+        poses = lie.se3_to_SE3(jax.random.normal(jax.random.PRNGKey(0), (3, 6)) * 0.2)
+        p1 = vis.plot_save_poses(str(tmp_path / "poses.png"), poses, poses)
+        import os
+        assert os.path.exists(p1)
+        pack = np.zeros((32, 5), np.float32)
+        pack[:5, :4] = np.random.rand(5, 4) * 10
+        pack[:5, 4] = 1.0
+        img = np.random.rand(16, 16, 3).astype(np.float32)
+        p2 = vis.save_match_plot(str(tmp_path / "match.png"), img, img, pack)
+        assert os.path.exists(p2)
+
+
+class TestProfiling:
+    def test_rays_per_second(self):
+        m = profiling.RaysPerSecond(window=5)
+        import time
+        m.update(100)
+        time.sleep(0.01)
+        rate = m.update(100)
+        assert rate > 0
+
+    def test_checkify_catches_nan(self):
+        def bad(x):
+            return jnp.log(x)  # NaN for negative input
+
+        err, out = profiling.checkify_nan_debug(bad)(jnp.asarray(-1.0))
+        assert err.get() is not None  # a float error was recorded
