@@ -296,6 +296,28 @@ class JointTrainer:
             proj_use_deform=(step <= cfg.object_train.N_iters) and self.state.n_active > 2,
         )
 
+    def scale_volume_grid(self, num_voxels: int) -> None:
+        """Progressive grid scaling (pg_scale): trilinear-resize the SDF and
+        feature grids to the new resolution and rebuild the object optimizer.
+
+        Mirrors `scale_volume_grid` (`voxurf_coarse.py:393-405`) + the
+        optimizer re-creation the reference performs after scaling. A host
+        event — the next step compiles for the new static shapes.
+        """
+        import dataclasses
+
+        from ..ops import grid as grid_ops
+
+        old_cfg = self.cfg.object_model
+        new_cfg = dataclasses.replace(old_cfg, num_voxels=num_voxels)
+        new_size = new_cfg.world_size
+        obj = dict(self.state.obj_params)
+        obj["sdf_grid"] = grid_ops.resize_trilinear(obj["sdf_grid"], new_size)
+        obj["k0_grid"] = grid_ops.resize_trilinear(obj["k0_grid"], new_size)
+        self.cfg = dataclasses.replace(self.cfg, object_model=new_cfg)
+        self.state.obj_params = obj
+        self.state.opt_obj = self.opt_obj.init(obj)
+
     def maybe_activate_view(self, step: int) -> None:
         """Incremental activation + PnP of the newly added view (host event)."""
         cfg = self.cfg

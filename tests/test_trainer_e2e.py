@@ -145,3 +145,17 @@ class TestJointTrainer:
         out = tr.render_full_image(tr.poses_gt[0], tr.Ks[0], chunk=800, fine=False)
         assert out["rgb"].shape == (40, 40, 3)
         assert np.all(np.isfinite(np.asarray(out["rgb"])))
+
+
+class TestProgressiveScaling:
+    def test_scale_volume_grid(self, scene_data):
+        cfg = tiny_config(scene_data, max_iter=40, n_iters_obj=40, incremental_step=20)
+        tr = JointTrainer(cfg, scene_data)
+        tr.fit(4)
+        old_size = tr.cfg.object_model.world_size
+        tr.scale_volume_grid(32**3)
+        assert tr.cfg.object_model.world_size != old_size
+        assert tr.state.obj_params["sdf_grid"].shape[1:] == tr.cfg.object_model.world_size
+        # training continues at the new resolution (recompiles once)
+        m = tr.fit(3)
+        assert tr.state.step == 7
