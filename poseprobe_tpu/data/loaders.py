@@ -298,6 +298,42 @@ def load_replica(cfg: DataConfig, png_depth_scale: float = 6553.5,
                      np.stack(poses), i_train, i_test, matcher_backend=matcher_backend)
 
 
+# ------------------------------------------------------- scene_with_shapenet
+
+def load_scene_with_shapenet(cfg: DataConfig, object_center=(0.0, 0.0, 0.0),
+                             matcher_backend: str = "auto") -> base.SceneData:
+    """ShapeNet-probe scenes: blender transforms json, `colors` images with
+    sibling `mask` files, blender c2w shifted by the probe object center
+    (`load_scene_with_shapenet.py:188-242`)."""
+    basedir = cfg.datadir
+    images, masks, poses = [], [], []
+    counts = [0]
+    center = np.asarray(object_center, np.float32)
+    for s in ("train", "val", "test"):
+        with open(os.path.join(basedir, f"transforms_{s}.json")) as fp:
+            meta = json.load(fp)
+        frames = meta["frames"]
+        for frame in frames:
+            fname = os.path.join(basedir, frame["file_path"] + ".png")
+            images.append(_imread_float(fname)[..., :3])
+            m = _imread_float(fname.replace("colors", "mask"))
+            masks.append(m[..., 0] if m.ndim == 3 else m)
+            c2w = np.asarray(frame["transform_matrix"], np.float32)
+            c2w[:3, 3] -= center
+            poses.append(_parse_raw_camera_blender(c2w))
+        counts.append(counts[-1] + len(frames))
+    images = np.stack(images)
+    masks = np.stack(masks)
+    H, W = images.shape[1:3]
+    focal = 0.5 * W / np.tan(0.5 * float(meta["camera_angle_x"]))
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    i_train = list(cfg.selected_id)
+    i_test = list(cfg.test_id) if cfg.test_id is not None else list(range(counts[2], counts[3]))
+    Ks = np.tile(K[None], (len(images), 1, 1))
+    return _finalize(cfg, images, masks, Ks, np.stack(poses), i_train, i_test,
+                     matcher_backend=matcher_backend)
+
+
 # ---------------------------------------------------------------- dispatcher
 
 def load_data(cfg: DataConfig, matcher_backend: str = "auto", **kwargs) -> base.SceneData:
@@ -310,8 +346,10 @@ def load_data(cfg: DataConfig, matcher_backend: str = "auto", **kwargs) -> base.
         return load_toy(cfg, matcher_backend=matcher_backend, **kwargs)
     if cfg.dataset_type == "custom":
         return load_custom(cfg, matcher_backend=matcher_backend, **kwargs)
-    if cfg.dataset_type in ("replica", "scene_with_shapenet"):
+    if cfg.dataset_type == "replica":
         return load_replica(cfg, matcher_backend=matcher_backend, **kwargs)
+    if cfg.dataset_type == "scene_with_shapenet":
+        return load_scene_with_shapenet(cfg, matcher_backend=matcher_backend, **kwargs)
     if cfg.dataset_type == "synthetic":
         from .synthetic import make_synthetic_scene
         return make_synthetic_scene(**kwargs)
