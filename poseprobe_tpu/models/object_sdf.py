@@ -70,6 +70,8 @@ class ObjectConfig:
     # rect used for cube init; None -> derived from bbox like recon_scene.py:142
     world_bound_scale: float = 1.05
     fast_color_thres: float = 0.0
+    # fuse alpha+transmittance+composite into the Pallas kernel (TPU only)
+    use_pallas_composite: bool = False
 
     # --- derived (static) ---
     @property
@@ -212,6 +214,21 @@ def sdf_with_deform(params: dict, cfg: ObjectConfig, sdf_grid: jnp.ndarray, pts:
     return sdf, {}
 
 
+def _color_head(params: dict, cfg: ObjectConfig, pts, viewdirs, gradient, progress, lo, hi):
+    """Per-sample color: k0 features + BARF-masked pos/view PE + normal -> MLP
+    -> sigmoid (`voxurf_coarse.py:1005-1033`)."""
+    rays_xyz = (pts - lo) / (hi - lo)
+    xyz_emb = pe.posenc_object(rays_xyz, cfg.posbase_pe, progress, cfg.barf_c2f)
+    view_emb = pe.posenc_object(viewdirs, cfg.viewbase_pe, progress, cfg.barf_c2f)
+    view_emb = jnp.broadcast_to(view_emb[:, None, :], pts.shape[:2] + (view_emb.shape[-1],))
+    k0 = grid_ops.trilinear_sample(params["k0_grid"], pts, lo, hi)
+    feats = [k0, xyz_emb, view_emb]
+    if cfg.geo_rgb_dim == 3:
+        normal = gradient / (safe_norm(gradient, keepdims=True) + 1e-5)
+        feats.append(normal)
+    return apply_mlp(params["rgbnet"], jnp.concatenate(feats, -1), final_activation=jax.nn.sigmoid)
+
+
 def render(
     params: dict,
     cfg: ObjectConfig,
@@ -277,25 +294,30 @@ def render(
     else:
         s_val = params["s_val"]
 
-    alpha = compositing.neus_alpha_from_sdf(viewdirs[:, None, :], dist, sdf_final, gradient, s_val)
-    alpha = jnp.where(mask, alpha, 0.0)
-    weights, alphainv_last = compositing.alpha2weights(alpha)
-    if cfg.fast_color_thres > 0:
-        keep = weights > cfg.fast_color_thres
-        alpha = jnp.where(keep, alpha, 0.0)
+    if cfg.use_pallas_composite and cfg.fast_color_thres <= 0:
+        # fused Pallas path: alpha + transmittance + (rgb, step) sums in one
+        # kernel; rgb must be computed first, so gather color features now
+        from ..ops.pallas import fused_composite as FC
+        true_cos = jnp.sum(viewdirs[:, None, :] * gradient, axis=-1)
+        cos_term = -jnp.maximum(-true_cos, 0.0)
+        rgb_pre = _color_head(params, cfg, pts, viewdirs, gradient, progress, lo, hi)
+        weights, alphainv_last, rgb_marched_raw, n_step_f = FC.fused_alpha_composite(
+            sdf_final, cos_term, mask, rgb_pre, samp.step, 1.0 / s_val, dist)
+        alpha = compositing.neus_alpha_from_sdf(viewdirs[:, None, :], dist, sdf_final,
+                                                gradient, s_val)
+        alpha = jnp.where(mask, alpha, 0.0)
+        rgb = rgb_pre
+    else:
+        alpha = compositing.neus_alpha_from_sdf(viewdirs[:, None, :], dist, sdf_final, gradient, s_val)
+        alpha = jnp.where(mask, alpha, 0.0)
         weights, alphainv_last = compositing.alpha2weights(alpha)
+        if cfg.fast_color_thres > 0:
+            keep = weights > cfg.fast_color_thres
+            alpha = jnp.where(keep, alpha, 0.0)
+            weights, alphainv_last = compositing.alpha2weights(alpha)
 
-    # color features
-    rays_xyz = (pts - lo) / (hi - lo)
-    xyz_emb = pe.posenc_object(rays_xyz, cfg.posbase_pe, progress, cfg.barf_c2f)
-    view_emb = pe.posenc_object(viewdirs, cfg.viewbase_pe, progress, cfg.barf_c2f)
-    view_emb = jnp.broadcast_to(view_emb[:, None, :], pts.shape[:2] + (view_emb.shape[-1],))
-    k0 = grid_ops.trilinear_sample(params["k0_grid"], pts, lo, hi)
-    feats = [k0, xyz_emb, view_emb]
-    if cfg.geo_rgb_dim == 3:
-        normal = gradient / (safe_norm(gradient, keepdims=True) + 1e-5)
-        feats.append(normal)
-    rgb = apply_mlp(params["rgbnet"], jnp.concatenate(feats, -1), final_activation=jax.nn.sigmoid)
+    if not (cfg.use_pallas_composite and cfg.fast_color_thres <= 0):
+        rgb = _color_head(params, cfg, pts, viewdirs, gradient, progress, lo, hi)
 
     w = weights[..., None]
     rgb_marched = (w * rgb).sum(axis=1)

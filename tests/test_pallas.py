@@ -93,3 +93,30 @@ def _force_tpu_path(sdf, cos, mask, rgb, step, inv_s, dist):
     rgbm = rgbm.reshape(nb, 3, FCm.BLOCK_RAYS)
     rgbm = jnp.moveaxis(rgbm, 1, 2).reshape(N, 3)
     return w_t.T[:, :S], ainv[0], rgbm, nstep[0]
+
+
+class TestPallasRenderPath:
+    def test_object_render_pallas_flag_matches_default(self):
+        # with the flag on (falls back to jnp twin off-TPU) the render output
+        # must match the unfused path exactly
+        import dataclasses
+        import jax
+        from poseprobe_tpu.models import object_sdf
+        from poseprobe_tpu.core import pose, rays as rays_mod
+
+        cfg = object_sdf.ObjectConfig(xyz_min=(-1.0,) * 3, xyz_max=(1.0,) * 3,
+                                      num_voxels=16**3, num_voxels_base=16**3,
+                                      N_iters=100, barf_c2f=None)
+        cfg_p = dataclasses.replace(cfg, use_pallas_composite=True)
+        params = object_sdf.init_object_params(jax.random.PRNGKey(0), cfg)
+        K = jnp.array([[8.0, 0, 4.0], [0, 8.0, 4.0], [0, 0, 1]])
+        c2w = pose.make(R=jnp.eye(3), t=jnp.array([0.0, 0.0, -3.0]))
+        ro, rd = rays_mod.get_rays(8, 8, K, c2w, inverse_y=True)
+        ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+        vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        out1 = object_sdf.render(params, cfg, ro, rd, vd, 50.0, rng=None, near=0.3, far=9.0)
+        out2 = object_sdf.render(params, cfg_p, ro, rd, vd, 50.0, rng=None, near=0.3, far=9.0)
+        np.testing.assert_allclose(np.asarray(out1["rgb_marched"]),
+                                   np.asarray(out2["rgb_marched"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out1["weights"]),
+                                   np.asarray(out2["weights"]), atol=1e-6)
