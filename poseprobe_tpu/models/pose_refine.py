@@ -25,14 +25,20 @@ def make_pose_noise(key, n_train: int, camera_noise: float) -> jnp.ndarray:
     return lie.se3_to_SE3(se3_noise)
 
 
-def current_pose_pnp(pose_params: dict, poses_pnp: jnp.ndarray) -> jnp.ndarray:
-    """Refined poses from PnP initialisation; pose 0 stays fixed.
+def current_pose_pnp(pose_params: dict, poses_pnp: jnp.ndarray,
+                     fix_first: bool = True) -> jnp.ndarray:
+    """Refined poses from the initialisation set.
 
-    current[i] = se3_refine[i] o pnp[i] for i > 0 (`recon_scene.py:61-69`).
+    PnP mode fixes pose 0 as the gauge anchor: current[i] = pnp[i] o refine[i]
+    for i > 0 (`recon_scene.py:61-69`). The noisy-GT mode
+    (`get_current_pose`, `recon_scene.py:51-59`) refines every pose
+    (fix_first=False).
     """
     pose_refine = lie.se3_to_SE3(pose_params["se3_refine"])
-    # compose([refine, pnp]) = pnp o refine: the refinement acts innermost
+    # compose([refine, base]) = base o refine: the refinement acts innermost
     refined = pose_ops.compose_pair(pose_refine, poses_pnp)
+    if not fix_first:
+        return refined
     keep_first = jnp.arange(poses_pnp.shape[0])[:, None, None] == 0
     return jnp.where(keep_first, poses_pnp, refined)
 

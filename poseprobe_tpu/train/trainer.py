@@ -115,9 +115,15 @@ class JointTrainer:
 
     # ------------------------------------------------------------------ poses
 
+    @property
+    def _fix_first_pose(self) -> bool:
+        # PnP mode anchors the gauge at pose 0; noisy-GT mode refines all
+        return bool(self.cfg.pnp.use_pnp or self.cfg.pnp.use_identical)
+
     def current_pose(self, state: TrainState | None = None) -> jnp.ndarray:
         state = state or self.state
-        return pose_refine.current_pose_pnp(state.pose_params, state.poses_pnp)
+        return pose_refine.current_pose_pnp(state.pose_params, state.poses_pnp,
+                                            fix_first=self._fix_first_pose)
 
     # ------------------------------------------------------------------- step
 
@@ -135,9 +141,12 @@ class JointTrainer:
         keys = jax.random.split(rng, 10)
         depth_range = (self.data.near, self.data.far)
 
+        fix_first = self._fix_first_pose
+
         def loss_fn(trainable):
             obj_p, scene_p, pose_p = trainable
-            current_pose = pose_refine.current_pose_pnp(pose_p, poses_pnp)
+            current_pose = pose_refine.current_pose_pnp(pose_p, poses_pnp,
+                                                        fix_first=fix_first)
             metrics: dict[str, Any] = {}
             total = 0.0
 
