@@ -379,6 +379,38 @@ class JointTrainer:
 
     # ------------------------------------------------------------------- eval
 
+    def validate(self, n_views: int = 1) -> float:
+        """Validation PSNR on test views rendered in the optimized frame.
+
+        Mirrors the periodic validation of `optimize_increamental`
+        (`recon_scene.py:688-722`): align the current train poses to GT,
+        backtrack the test poses through the inverse sim3, render, and return
+        mean PSNR. Updates `state.best_val`.
+        """
+        import numpy as np
+
+        from ..core import align as align_mod
+        from ..eval import evaluator, metrics as metrics_mod
+
+        data = self.data
+        if len(data.i_test) == 0:
+            return float("nan")
+        cur = self.current_pose()
+        _, sim3 = evaluator.align_train_poses(cur, self.poses_gt)
+        psnrs = []
+        for t in range(min(n_views, len(data.i_test))):
+            i = data.i_test[t]
+            pose_t = align_mod.backtrack_from_aligning_the_trajectory(
+                jnp.asarray(data.poses_gt_w2c[i][None]), sim3)[0]
+            out = evaluator.render_full(self.state.scene_params, self.cfg.scene_model,
+                                        pose_t, jnp.asarray(data.Ks[i]),
+                                        self.H, self.W, (data.near, data.far))
+            psnrs.append(float(metrics_mod.psnr(out["rgb"], jnp.asarray(data.images[i]))))
+        val = float(np.mean(psnrs))
+        if val > self.state.best_val:
+            self.state.best_val = val
+        return val
+
     def render_full_image(self, pose_w2c: jnp.ndarray, K: jnp.ndarray,
                           chunk: int = 2048, fine: bool = True) -> dict:
         """Chunked scene-branch full-image render (`render_by_slices`, `renderer.py:629-663`)."""

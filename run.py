@@ -108,6 +108,13 @@ def main():
                   f"loss {h.get('loss_total', 0):8.4f} "
                   f"views {h['n_active']} "
                   f"({h['step'] / max(eps, 1e-9):.2f} it/s)")
+        if args.i_validate and h["step"] % args.i_validate == 0:
+            val = trainer.validate()
+            improved = val >= trainer.state.best_val
+            print(f"[val {h['step']}] psnr {val:.2f} (best {trainer.state.best_val:.2f})")
+            if improved:
+                state_mod.save_checkpoint(os.path.join(out_dir, "best_ckpt.pkl"),
+                                          trainer.state, configs={"expname": cfg.expname})
         if args.i_ckpt and h["step"] % args.i_ckpt == 0:
             state_mod.save_checkpoint(os.path.join(out_dir, "last_ckpt.pkl"),
                                       trainer.state, configs={"expname": cfg.expname})

@@ -159,3 +159,13 @@ class TestProgressiveScaling:
         # training continues at the new resolution (recompiles once)
         m = tr.fit(3)
         assert tr.state.step == 7
+
+
+class TestValidation:
+    def test_validate_returns_psnr_and_tracks_best(self, scene_data):
+        cfg = tiny_config(scene_data, max_iter=40, n_iters_obj=40, incremental_step=20)
+        tr = JointTrainer(cfg, scene_data)
+        tr.fit(5)
+        val = tr.validate()
+        assert np.isfinite(val)
+        assert tr.state.best_val == val
