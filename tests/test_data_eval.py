@@ -142,3 +142,84 @@ class TestBlenderToyLoaders:
         data = load_toy(cfg, matcher_backend="classical")
         assert data.masks.max() == 1.0
         assert data.n_train == 2
+
+
+class TestMoreLoaders:
+    def _write_replica(self, root, n=4, H=24, W=24):
+        import imageio.v2 as imageio
+        os.makedirs(os.path.join(root, "results"), exist_ok=True)
+        rng = np.random.default_rng(0)
+        traj = []
+        for k in range(n):
+            img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+            imageio.imwrite(os.path.join(root, "results", f"frame{k:06d}.jpg"), img)
+            depth = (rng.random((H, W)) * 20000 + 1000).astype(np.uint16)
+            imageio.imwrite(os.path.join(root, "results", f"depth{k:06d}.png"), depth)
+            c2w = np.eye(4)
+            c2w[2, 3] = -2.0 - 0.1 * k
+            traj.append(c2w.reshape(-1))
+        np.savetxt(os.path.join(root, "traj.txt"), np.stack(traj))
+
+    def test_load_replica(self, tmp_path):
+        from poseprobe_tpu.data.loaders import load_replica
+        self._write_replica(str(tmp_path))
+        cfg = DataConfig(datadir=str(tmp_path), dataset_type="replica",
+                         selected_id=(0, 1), test_id=(2, 3))
+        data = load_replica(cfg, matcher_backend="classical")
+        assert data.n_train == 2
+        assert data.masks.min() >= 0 and data.masks.max() <= 1
+        assert np.isfinite(data.poses_gt_w2c).all()
+
+    def test_load_shapenet_scene(self, tmp_path):
+        import imageio.v2 as imageio
+        import json as json_mod
+        from poseprobe_tpu.data.loaders import load_scene_with_shapenet
+        root = str(tmp_path)
+        os.makedirs(os.path.join(root, "colors"), exist_ok=True)
+        os.makedirs(os.path.join(root, "mask"), exist_ok=True)
+        rng = np.random.default_rng(1)
+        for split, n in (("train", 3), ("val", 1), ("test", 2)):
+            frames = []
+            for k in range(n):
+                name = f"colors/{split}_{k}"
+                img = (rng.random((20, 20, 3)) * 255).astype(np.uint8)
+                imageio.imwrite(os.path.join(root, name + ".png"), img)
+                m = np.zeros((20, 20), np.uint8)
+                m[6:14, 6:14] = 255
+                imageio.imwrite(os.path.join(root, name.replace("colors", "mask") + ".png"), m)
+                c2w = np.eye(4)
+                c2w[2, 3] = 2.5 + 0.1 * k
+                frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
+            with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+                json_mod.dump({"camera_angle_x": 0.7, "frames": frames}, f)
+        cfg = DataConfig(datadir=root, dataset_type="scene_with_shapenet",
+                         selected_id=(0, 1, 2), test_id=(4, 5))
+        data = load_scene_with_shapenet(cfg, matcher_backend="classical")
+        assert data.n_train == 3
+        assert data.masks.max() == 1.0
+
+    def test_load_custom(self, tmp_path):
+        import imageio.v2 as imageio
+        from poseprobe_tpu.data.loaders import load_custom
+        root = str(tmp_path)
+        os.makedirs(os.path.join(root, "scene_image"), exist_ok=True)
+        os.makedirs(os.path.join(root, "scene_mask"), exist_ok=True)
+        rng = np.random.default_rng(2)
+        n = 4
+        w2c = np.tile(np.eye(4)[None], (n, 1, 1)).astype(np.float32)
+        w2c[:, 2, 3] = np.linspace(2, 2.3, n)
+        np.save(os.path.join(root, "w2c.npy"), w2c)
+        np.savetxt(os.path.join(root, "intrinsics.txt"),
+                   np.array([[20.0, 0, 10], [0, 20.0, 10], [0, 0, 1]]))
+        for k in range(n):
+            img = (rng.random((20, 20, 3)) * 255).astype(np.uint8)
+            imageio.imwrite(os.path.join(root, "scene_image", f"{k:05d}.jpg"), img)
+            m = np.zeros((20, 20), np.uint8)
+            m[5:15, 5:15] = 255
+            imageio.imwrite(os.path.join(root, "scene_mask", f"{k:05d}.jpg"), m)
+        cfg = DataConfig(datadir=root, dataset_type="custom", selected_id=(0, 2))
+        data = load_custom(cfg, matcher_backend="classical")
+        assert data.n_train == 2
+        # reference quirk: test split covers ids up to max(selected_id) only
+        # (`load_custom.py:207`), so id 3 is excluded
+        assert list(data.i_test) == [1]
