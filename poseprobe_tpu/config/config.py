@@ -48,6 +48,10 @@ class CameraConfig:
     barf_c2f: Optional[tuple] = (0.6, 1.0)   # object-branch c2f window
     incremental: bool = True
     incremental_step: int = 800
+    # gauge anchor: None = reference behavior (fixed in PnP mode, free in
+    # noisy-GT mode); True/False overrides. Fixing pose 0 removes the gauge
+    # freedom and speeds up short-horizon pose convergence.
+    fix_first_pose: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -118,6 +118,9 @@ class JointTrainer:
     @property
     def _fix_first_pose(self) -> bool:
         # PnP mode anchors the gauge at pose 0; noisy-GT mode refines all
+        # (reference get_current_pose vs get_current_pose_pnp); config override
+        if self.cfg.camera.fix_first_pose is not None:
+            return bool(self.cfg.camera.fix_first_pose)
         return bool(self.cfg.pnp.use_pnp or self.cfg.pnp.use_identical)
 
     def current_pose(self, state: TrainState | None = None) -> jnp.ndarray:

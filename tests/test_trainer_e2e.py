@@ -100,7 +100,8 @@ class TestJointTrainer:
         cfg = dataclasses.replace(
             cfg,
             pnp=cm.PnPConfig(use_pnp=False),
-            camera=cm.CameraConfig(incremental=False, noise=0.05, barf_c2f=None),
+            camera=cm.CameraConfig(incremental=False, noise=0.05, barf_c2f=None,
+                                   fix_first_pose=True),
             object_train=dataclasses.replace(cfg.object_train, N_iters=0,
                                              lr_pose=3e-3, lr_pose_end=1e-4),
             scene_train=dataclasses.replace(cfg.scene_train, max_iter=300,
