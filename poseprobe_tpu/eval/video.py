@@ -52,6 +52,36 @@ def spiral_poses_from_trajectory(poses_c2w: np.ndarray, n: int = 60,
     return np.stack(out).astype(np.float32)
 
 
+def interp_poses_slerp(c2ws: np.ndarray, n_views: int) -> np.ndarray:
+    """Slerp rotations + linear translations between keyframe c2w poses
+    (`interp_poses`, `lib/common.py:551-562`). c2ws: [K, 3, 4] -> [n, 3, 4]."""
+    from scipy.spatial.transform import Rotation, Slerp
+
+    times = np.linspace(0, 1, c2ws.shape[0])
+    slerp = Slerp(times, Rotation.from_matrix(c2ws[:, :3, :3]))
+    tt = np.linspace(0, 1, n_views)
+    rots = slerp(tt).as_matrix().astype(np.float32)
+    trans = np.stack([np.interp(tt, times, c2ws[:, i, 3]) for i in range(3)], -1)
+    return np.concatenate([rots, trans[:, :, None].astype(np.float32)], axis=2)
+
+
+def interp_poses_bspline(c2ws: np.ndarray, n_views: int, degree: int = 2) -> np.ndarray:
+    """B-spline translations + slerp rotations (`interp_poses_bspline`,
+    `lib/common.py:565-575`)."""
+    from scipy.interpolate import splev, splprep
+    from scipy.spatial.transform import Rotation, Slerp
+
+    pts = c2ws[:, :3, 3]
+    k = min(degree, len(pts) - 1)
+    tck, _ = splprep(pts.T, k=k, s=0)
+    u = np.linspace(0, 1, n_views)
+    trans = np.stack(splev(u, tck), -1).astype(np.float32)
+    times = np.linspace(0, 1, c2ws.shape[0])
+    slerp = Slerp(times, Rotation.from_matrix(c2ws[:, :3, :3]))
+    rots = slerp(u).as_matrix().astype(np.float32)
+    return np.concatenate([rots, trans[:, :, None]], axis=2)
+
+
 def colorize_depth(depth: np.ndarray, d_range=None) -> np.ndarray:
     """Depth -> turbo-ish colormap [H, W, 3] uint8 (role of `colorize_np`)."""
     import matplotlib.cm as cm

@@ -1,6 +1,7 @@
 """Shared loss primitives (diff losses, weighting)."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -44,6 +45,18 @@ def summarize_losses(loss_dict: dict, loss_weight: dict, parametrization: str = 
         if w is None:
             continue
         total = total + (10.0 ** float(w) if parametrization == "exp" else float(w)) * value
+    return total
+
+
+def summarize_losses_equalized(loss_dict: dict) -> jnp.ndarray:
+    """Loss equalization: every term rescaled to the render loss's magnitude
+    (`summarize_loss_w_equal_weights`, `base_losses.py:82-109`)."""
+    render = jax.lax.stop_gradient(loss_dict["render"])
+    total = 0.0
+    for key, value in loss_dict.items():
+        w = jnp.where(jnp.abs(jax.lax.stop_gradient(value)) > 0,
+                      render / (jax.lax.stop_gradient(value) + 1e-6), 1.0)
+        total = total + w * value
     return total
 
 

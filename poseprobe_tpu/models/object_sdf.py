@@ -452,6 +452,29 @@ def query_surface_points_render(
     return points, valid, depth
 
 
+def mesh_color_forward(params: dict, cfg: ObjectConfig, pts: np.ndarray,
+                       chunk: int = 65536) -> np.ndarray:
+    """Vertex colors for mesh export, using the surface normal as the view
+    direction (`mesh_color_forward`, referenced by `validate_deform_mesh`,
+    `recon_scene.py:864-869`). pts: [V, 3] world vertices -> [V, 3] rgb."""
+    lo, hi = _bounds(cfg)
+    sdf_grid = processed_sdf_grid(params, cfg)
+
+    @jax.jit
+    def q(p):
+        deform, correction = deform_mod.apply_deform(params["warpnet"], p)
+        _, tri_grad = grid_ops.trilinear_sample_with_grad(sdf_grid, p + deform, lo, hi)
+        gradient = tri_grad[:, 0, :]
+        normal = gradient / (safe_norm(gradient, keepdims=True) + 1e-5)
+        rgb = _color_head(params, cfg, p[:, None, :], -normal, gradient[:, None, :],
+                          1.0, lo, hi)
+        return rgb[:, 0]
+
+    out = [np.asarray(q(jnp.asarray(pts[i:i + chunk], jnp.float32)))
+           for i in range(0, len(pts), chunk)]
+    return np.clip(np.concatenate(out), 0.0, 1.0)
+
+
 def extract_sdf_volume(params: dict, cfg: ObjectConfig, resolution: int, use_deform: bool = True,
                        chunk: int = 65536) -> np.ndarray:
     """Dense (-SDF) volume for marching cubes (`extract_deform_geometry`, `:1224-1248`)."""

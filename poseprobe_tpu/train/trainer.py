@@ -131,10 +131,11 @@ class JointTrainer:
     # ------------------------------------------------------------------- step
 
     @functools.partial(jax.jit, static_argnames=("self", "n_active", "object_on", "pose_on",
-                                                 "fine_on", "depth_cons_on", "proj_use_deform"))
+                                                 "fine_on", "depth_cons_on", "proj_use_deform", "precrop_on"))
     def _train_step(self, state_tuple, rng, step, n_active: int,
                     object_on: bool, pose_on: bool, fine_on: bool,
-                    depth_cons_on: bool, proj_use_deform: bool):
+                    depth_cons_on: bool, proj_use_deform: bool,
+                    precrop_on: bool = False):
         (obj_params, scene_params, pose_params,
          opt_obj, opt_scene, opt_pose, poses_pnp) = state_tuple
         cfg = self.cfg
@@ -207,10 +208,12 @@ class JointTrainer:
             # ---------------- scene branch (active views only) ----------------
             active_pose = current_pose[:n_active]
             active_K = self.Ks[:n_active]
+            # center pre-crop during the first precrop_iters steps
+            # (`sampling_strategies.py:166-171`, `default_config.py:134-135`)
             sbatch = batching.sample_scene_pixels(
                 keys[3], n_active, sm.rand_rays // n_active, self.H, self.W,
                 sc.depth_regu_patch_size, self.images[:n_active], n_active,
-                precrop=False)
+                precrop=bool(precrop_on), precrop_frac=sc.precrop_frac)
             center, ray = rays_mod.get_center_and_ray_at_pixels(
                 active_pose, jnp.broadcast_to(sbatch.pixels, (n_active,) + sbatch.pixels.shape),
                 active_K)
@@ -306,6 +309,7 @@ class JointTrainer:
             fine_on=bool(cfg.scene_model.fine_sampling and step >= self.fine_start),
             depth_cons_on=bool(self.depth_cons_start >= 0 and step >= self.depth_cons_start),
             proj_use_deform=(step <= cfg.object_train.N_iters) and self.state.n_active > 2,
+            precrop_on=step < cfg.scene_train.precrop_iters,
         )
 
     def scale_volume_grid(self, num_voxels: int) -> None:

@@ -144,3 +144,37 @@ class TestProfiling:
 
         err, out = profiling.checkify_nan_debug(bad)(jnp.asarray(-1.0))
         assert err.get() is not None  # a float error was recorded
+
+
+class TestPoseInterp:
+    def _keyframes(self):
+        c2w = np.tile(np.eye(3, 4, dtype=np.float32)[None], (4, 1, 1))
+        c2w[:, 0, 3] = [0, 1, 2, 3]
+        c2w[:, 2, 3] = [-3, -2.8, -3.2, -3]
+        return c2w
+
+    def test_slerp_hits_keyframes(self):
+        c2w = self._keyframes()
+        out = video_mod.interp_poses_slerp(c2w, 7)
+        np.testing.assert_allclose(out[0], c2w[0], atol=1e-5)
+        np.testing.assert_allclose(out[-1], c2w[-1], atol=1e-5)
+
+    def test_bspline_smooth_path(self):
+        c2w = self._keyframes()
+        out = video_mod.interp_poses_bspline(c2w, 16)
+        assert out.shape == (16, 3, 4)
+        RtR = np.einsum("nij,nik->njk", out[:, :3, :3], out[:, :3, :3])
+        np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (16, 3, 3)), atol=1e-5)
+
+
+class TestColoredMesh:
+    def test_mesh_color_forward(self):
+        from poseprobe_tpu.models import object_sdf
+        cfg = object_sdf.ObjectConfig(xyz_min=(-1.0,) * 3, xyz_max=(1.0,) * 3,
+                                      num_voxels=16**3, num_voxels_base=16**3,
+                                      N_iters=100, barf_c2f=None)
+        params = object_sdf.init_object_params(jax.random.PRNGKey(0), cfg)
+        pts = np.random.default_rng(0).uniform(-0.5, 0.5, (100, 3)).astype(np.float32)
+        rgb = object_sdf.mesh_color_forward(params, cfg, pts)
+        assert rgb.shape == (100, 3)
+        assert (rgb >= 0).all() and (rgb <= 1).all()
