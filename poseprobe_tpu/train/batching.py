@@ -102,10 +102,10 @@ def sample_scene_pixels(
     if precrop:
         dH, dW = int(H // 2 * precrop_frac), int(W // 2 * precrop_frac)
         y0, x0 = H // 2 - dH, W // 2 - dW
-        ymax, xmax = 2 * dH - patch_size, 2 * dW - patch_size
+        ymax, xmax = max(2 * dH - patch_size, 1), max(2 * dW - patch_size, 1)
     else:
         y0, x0 = 0, 0
-        ymax, xmax = H - patch_size - 1, W - patch_size - 1
+        ymax, xmax = max(H - patch_size - 1, 1), max(W - patch_size - 1, 1)
     kx, ky = jax.random.split(rng)
     px = x0 + jax.random.randint(kx, (n_patches,), 0, xmax)
     py = y0 + jax.random.randint(ky, (n_patches,), 0, ymax)
