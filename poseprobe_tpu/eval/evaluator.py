@@ -118,8 +118,13 @@ def evaluate_full(
     test_photo: bool = True,
     test_iter: int = 100,
     lr_pose: float = 1e-3,
+    save_dir: str | None = None,
 ) -> dict[str, Any]:
-    """Full test-set evaluation; returns the reference's JSON-style result dict."""
+    """Full test-set evaluation; returns the reference's JSON-style result dict.
+
+    With `save_dir`, writes per-image gt|pred|depth panels and individual
+    renders (role of `save_ind_files`/`visualize_eval`, `renderer.py:1339-1409`).
+    """
     aligned, sim3 = align_train_poses(train_pose_w2c, train_pose_GT_w2c)
     err = align.evaluate_camera_alignment(aligned, train_pose_GT_w2c)
 
@@ -140,6 +145,17 @@ def evaluate_full(
         ssims.append(float(metrics_mod.ssim(out["rgb"], gt)))
         if metrics_mod.lpips_available():
             lpips_vals.append(metrics_mod.lpips_fn(out["rgb"], gt))
+        if save_dir is not None:
+            import imageio
+            import os as _os
+
+            from ..utils.vis import validation_panel
+
+            _os.makedirs(save_dir, exist_ok=True)
+            panel = validation_panel(np.asarray(gt), np.asarray(out["rgb"]),
+                                     np.asarray(out["depth"]),
+                                     np.asarray(out["opacity"][..., 0]))
+            imageio.imwrite(_os.path.join(save_dir, f"test_{t:03d}.png"), panel)
 
     results = {
         "rot_error": float(err["R"].mean()),

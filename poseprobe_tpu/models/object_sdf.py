@@ -28,14 +28,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import compositing, grid as grid_ops, pe, ray_sampling
+from . import deform as deform_mod
+from .mlp import apply_mlp, init_mlp
 
 
 def safe_norm(x, axis=-1, keepdims=False, eps=1e-12):
     """Norm with a NaN-free gradient at x = 0 (flat SDF regions produce exactly
     zero spatial gradients; d|x|/dx there would be 0/0)."""
     return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
-from . import deform as deform_mod
-from .mlp import apply_mlp, init_mlp
 
 
 @dataclasses.dataclass(frozen=True)
