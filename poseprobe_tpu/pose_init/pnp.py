@@ -55,13 +55,38 @@ def pnp_from_matches(
     img_pts = coord_cur[valid].astype(np.float64)
 
     if _HAS_CV2:
-        ok, rvec, tvec, _ = cv2.solvePnPRansac(world_pts, img_pts, K.astype(np.float64),
-                                               np.zeros((4, 1)))
+        K64 = K.astype(np.float64)
+        dist = np.zeros((4, 1))
+        ok, rvec, tvec, inliers = cv2.solvePnPRansac(world_pts, img_pts, K64, dist,
+                                                     reprojectionError=4.0,
+                                                     iterationsCount=300)
         if not ok:
             return prev_pose_w2c.copy()
+        # LM refinement on the inliers: surface anchors sit on 1-2 probe faces
+        # (near-planar), where raw RANSAC-P3P solutions can be unstable
+        if inliers is not None and len(inliers) >= 6:
+            sel = inliers[:, 0]
+            try:
+                rvec, tvec = cv2.solvePnPRefineLM(world_pts[sel], img_pts[sel], K64,
+                                                  dist, rvec, tvec)
+            except Exception:
+                pass
         R = np.asarray(lie.so3_to_SO3(np.asarray(rvec, np.float32).reshape(1, 3)))[0]
-        return np.concatenate([R, np.asarray(tvec, np.float32).reshape(3, 1)], axis=1)
+        pose = np.concatenate([R, np.asarray(tvec, np.float32).reshape(3, 1)], axis=1)
+        # sanity: if the solved pose reprojects worse than simply reusing the
+        # previous pose, keep the previous pose (robust chain behavior)
+        if _median_reproj_err(pose, world_pts, img_pts, K) > \
+                _median_reproj_err(prev_pose_w2c, world_pts, img_pts, K):
+            return prev_pose_w2c.copy()
+        return pose
     return _pnp_ransac_numpy(world_pts, img_pts, K, prev_pose_w2c)
+
+
+def _median_reproj_err(pose_w2c, world_pts, img_pts, K) -> float:
+    pc = world_pts @ np.asarray(pose_w2c[:, :3], np.float64).T + np.asarray(pose_w2c[:, 3], np.float64)
+    z = np.clip(pc[:, 2], 1e-6, None)
+    px = (pc[:, :2] / z[:, None]) @ K[:2, :2].T + K[:2, 2]
+    return float(np.median(np.linalg.norm(px - img_pts, axis=1)))
 
 
 def _pnp_dlt(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray) -> np.ndarray | None:
