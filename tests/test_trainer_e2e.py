@@ -173,3 +173,18 @@ class TestValidation:
         val = tr.validate()
         assert np.isfinite(val)
         assert tr.state.best_val == val
+
+
+class TestPnPModes:
+    def test_use_identical_mode(self, scene_data):
+        # pnp.use_identical chains each new view's init from the previous pose
+        # (`recon_scene.py:206-207,559-560`)
+        import poseprobe_tpu.config.config as cm
+        cfg = tiny_config(scene_data, max_iter=50, n_iters_obj=50, incremental_step=20)
+        cfg = dataclasses.replace(cfg, pnp=cm.PnPConfig(use_pnp=False, use_identical=True))
+        tr = JointTrainer(cfg, scene_data)
+        np.testing.assert_allclose(np.asarray(tr.state.poses_pnp[1]),
+                                   np.asarray(tr.state.poses_pnp[0]))
+        tr.fit(45)
+        assert tr.state.n_active == 3
+        assert np.isfinite(np.asarray(tr.state.poses_pnp)).all()
