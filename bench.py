@@ -59,7 +59,32 @@ def build_trainer(small: bool = False):
     return JointTrainer(cfg, data)
 
 
+def _tpu_reachable(timeout_s: int = 120) -> bool:
+    """Probe the TPU in a subprocess: a dead tunnel hangs jax init forever."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(jax.jit(lambda x: x.sum())(jnp.ones(8)))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main(small: bool = False, warmup: int = 3, iters: int = 20):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not _tpu_reachable():
+        # the tunneled TPU is down: fall back to CPU so the benchmark still
+        # reports (the device field makes the fallback visible)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        small = True
     import jax
 
     trainer = build_trainer(small=small)
