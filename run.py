@@ -33,6 +33,8 @@ def parse_args():
     p.add_argument("--i_print", type=int, default=200)
     p.add_argument("--i_validate", type=int, default=5000)
     p.add_argument("--i_ckpt", type=int, default=5000)
+    p.add_argument("--i_validate_mesh", type=int, default=0,
+                   help="extract + save the object mesh every N steps (0 = off)")
     p.add_argument("--no_test_optim", action="store_true",
                    help="skip test-time photometric pose optimization")
     p.add_argument("--matcher", type=str, default="auto",
@@ -118,6 +120,17 @@ def main():
         if args.i_ckpt and h["step"] % args.i_ckpt == 0:
             state_mod.save_checkpoint(os.path.join(out_dir, "last_ckpt.pkl"),
                                       trainer.state, configs={"expname": cfg.expname})
+        if (args.i_validate_mesh and h["step"] % args.i_validate_mesh == 0
+                and h["step"] <= cfg.object_train.N_iters):
+            # periodic mesh extraction (`recon_scene.py:748-751`)
+            vol = object_sdf.extract_sdf_volume(trainer.state.obj_params,
+                                                trainer.cfg.object_model, resolution=96)
+            verts, tris = mesh_mod.extract_mesh_world(
+                vol, trainer.cfg.object_model.xyz_min_np,
+                trainer.cfg.object_model.xyz_max_np, scale_mat=data.scale_mats)
+            os.makedirs(os.path.join(out_dir, "meshes"), exist_ok=True)
+            mesh_mod.save_ply(os.path.join(out_dir, "meshes",
+                                           f"deform_{h['step']}.ply"), verts, tris)
 
     trainer.fit(max_iter, log_every=min(args.i_print, 100), callback=on_log)
     state_mod.save_checkpoint(os.path.join(out_dir, "last_ckpt.pkl"), trainer.state,
