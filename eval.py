@@ -52,15 +52,23 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     cur = trainer.current_pose()
-    results = evaluator.evaluate_full(
-        trainer.state.scene_params, cfg.scene_model,
-        cur, trainer.poses_gt,
-        data.images[data.i_test], jnp.asarray(data.poses_gt_w2c[data.i_test]),
-        jnp.asarray(data.Ks[data.i_test]), (data.near, data.far),
-        test_photo=not args.no_test_optim and cfg.scene_train.test_photo,
-        test_iter=cfg.scene_train.test_iter,
-        save_dir=os.path.join(out_dir, "test_renders"))
-    results["iteration"] = trainer.state.step
+
+    def run_one(test_optim: bool, save: bool):
+        return evaluator.evaluate_full(
+            trainer.state.scene_params, cfg.scene_model,
+            cur, trainer.poses_gt,
+            data.images[data.i_test], jnp.asarray(data.poses_gt_w2c[data.i_test]),
+            jnp.asarray(data.Ks[data.i_test]), (data.near, data.far),
+            test_photo=test_optim, test_iter=cfg.scene_train.test_iter,
+            save_dir=os.path.join(out_dir, "test_renders") if save else None)
+
+    # reference saves both blocks for the joint model (`recon_scene.py:906-929`)
+    results = {"iteration": trainer.state.step}
+    if not args.no_test_optim and cfg.scene_train.test_photo:
+        results["w_test_optim"] = run_one(True, save=True)
+        results["without_test_optim"] = run_one(False, save=False)
+    else:
+        results.update(run_one(False, save=True))
     print(json.dumps(results, indent=2))
     with open(os.path.join(out_dir, f"{cfg.expname}.json"), "w") as f:
         json.dump(results, f, indent=2)

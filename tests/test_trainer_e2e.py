@@ -188,3 +188,16 @@ class TestPnPModes:
         tr.fit(45)
         assert tr.state.n_active == 3
         assert np.isfinite(np.asarray(tr.state.poses_pnp)).all()
+
+
+class TestSixViews:
+    def test_six_view_incremental_activation(self):
+        # 3-6 views supported (README.md:26); exercise 4 activation events
+        data6 = make_synthetic_scene(n_train=6, n_test=1, H=32, W=32, seed=9)
+        cfg = tiny_config(data6, max_iter=130, n_iters_obj=130, incremental_step=25)
+        tr = JointTrainer(cfg, data6)
+        assert tr.state.n_active == 2
+        hist = tr.fit(130, log_every=25)
+        assert tr.state.n_active == 6
+        for h in hist:
+            assert np.isfinite(h["loss_total"])
