@@ -89,6 +89,15 @@ class ObjectTrainConfig:
     weight_surface_projection: float = 0.0
     projection_dis_error: float = 0.001
     weight_near_surface: float = 0.1
+    # progressive grid scaling checkpoints (`configs/default_fine_s.py:70`,
+    # `configs/dtu_e2e/fine.py:24`): training starts at
+    # num_voxels / 2^len(pg_scale) and doubles the voxel count at each step
+    # listed here (DVGO semantics; one recompile per event).
+    pg_scale: tuple = ()
+    # free-space-skip mask refresh cadence (steps); the occupancy cache is
+    # rebuilt from the current SDF grid (adaptive, vs the reference's frozen
+    # coarse-stage MaskCache)
+    maskcache_update_every: int = 1000
     # pose optimizer (object side; 0 => frozen like scan1.py:83-85)
     lr_pose: float = 0.0
     lr_pose_end: float = 0.0
@@ -123,7 +132,10 @@ class SceneTrainConfig:
     # eval
     test_photo: bool = True
     test_iter: int = 100
+    # scene ray-sampler fractions (`sampling_strategies.py:146-167`,
+    # `default_config.py:132-133`): fg-mask wins over center when both set
     sampled_fraction_in_center: float = 0.0
+    sample_fraction_in_fg_mask: float = 0.0
 
     def loss_weight_dict(self) -> dict:
         return dict(self.loss_weight)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import compositing, grid as grid_ops, pe, ray_sampling
+from ..ops import compositing, grid as grid_ops, maskcache, pe, ray_sampling
 from . import deform as deform_mod
 from .mlp import apply_mlp, init_mlp
 
@@ -72,6 +72,14 @@ class ObjectConfig:
     fast_color_thres: float = 0.0
     # fuse alpha+transmittance+composite into the Pallas kernel (TPU only)
     use_pallas_composite: bool = False
+    # free-space skipping (ops/maskcache.py): compact each ray's samples to the
+    # first maskcache_keep*n_samples lanes inside the occupancy mask
+    # (`MaskCache`/`maskcache_lookup`, voxurf_coarse.py:1271-1292,
+    # render_utils_kernel.cu:374-424). thres is in raw SDF (world) units.
+    use_maskcache: bool = False
+    maskcache_thres: float = 0.05
+    maskcache_keep: float = 0.5
+    maskcache_dilate: int = 3
 
     # --- derived (static) ---
     @property
@@ -97,6 +105,11 @@ class ObjectConfig:
     @property
     def n_samples(self) -> int:
         return ray_sampling.n_samples_for_grid(self.world_size, self.stepsize)
+
+    @property
+    def maskcache_K(self) -> int:
+        """Static per-ray sample budget after free-space compaction."""
+        return max(1, int(np.ceil(self.maskcache_keep * self.n_samples)))
 
     @property
     def rect_size(self) -> np.ndarray:
@@ -242,6 +255,7 @@ def render(
     near: float = 0.3,
     far: float = 4.0,
     bg: float = 0.0,
+    mask_grid: jnp.ndarray | None = None,
 ) -> dict[str, Any]:
     """Train/eval volume render. Mirrors `Voxurf.forward` (`voxurf_coarse.py:922-1092`).
 
@@ -260,6 +274,12 @@ def render(
     )
     pts = samp.pts  # [N, S, 3]
     mask = samp.mask_inbbox  # [N, S]
+    step = samp.step
+    if mask_grid is not None:
+        # free-space skipping: keep the first K in-mask samples per ray
+        occ = maskcache.mask_lookup(mask_grid, pts, lo, hi)
+        comp = maskcache.compact_ray_samples(pts, step, mask & occ, cfg.maskcache_K)
+        pts, step, mask = comp.pts, comp.step, comp.mask
 
     sdf_grid = processed_sdf_grid(params, cfg)
 
@@ -302,7 +322,7 @@ def render(
         cos_term = -jnp.maximum(-true_cos, 0.0)
         rgb_pre = _color_head(params, cfg, pts, viewdirs, gradient, progress, lo, hi)
         weights, alphainv_last, rgb_marched_raw, n_step_f = FC.fused_alpha_composite(
-            sdf_final, cos_term, mask, rgb_pre, samp.step, 1.0 / s_val, dist)
+            sdf_final, cos_term, mask, rgb_pre, step, 1.0 / s_val, dist)
         alpha = compositing.neus_alpha_from_sdf(viewdirs[:, None, :], dist, sdf_final,
                                                 gradient, s_val)
         alpha = jnp.where(mask, alpha, 0.0)
@@ -325,7 +345,7 @@ def render(
     rgb_marched = jnp.clip(rgb_marched + (1.0 - cum_weights) * bg, 0.0, 1.0)
     normal_marched = (w * (gradient / (safe_norm(gradient, keepdims=True) + 1e-6))).sum(axis=1)
 
-    n_step = (weights * samp.step).sum(axis=1)
+    n_step = (weights * step).sum(axis=1)
     d_norm = jnp.maximum(jnp.linalg.norm(rays_d, axis=-1), 1e-12)
     depth = samp.t_min / d_norm + n_step
     disp = 1.0 / jnp.maximum(depth, 1e-8)

@@ -1,0 +1,92 @@
+"""Free-space skipping: coarse occupancy mask + static-shape sample compaction.
+
+TPU-native rebuild of the reference mask-cache machinery:
+* `MaskCache` — boolean "known free space" cache thresholding a frozen SDF
+  grid (`lib/voxurf_coarse.py:1271-1292`);
+* `MaskGrid` + the CUDA `maskcache_lookup` nearest-voxel query
+  (`lib/grid.py:212-245`, `lib/cuda/render_utils_kernel.cu:374-424`);
+* the ragged CUDA sampler dropping out-of-mask samples
+  (`sample_pts_on_rays`, `render_utils_kernel.cu:196-242`) and the
+  train-ray prefilter `get_training_rays_in_maskcache_sampling`
+  (`lib/voxurf_coarse.py:1591-1631`).
+
+Design deltas (TPU-first): XLA wants static shapes, so "skip" becomes
+**compaction to a fixed budget**: per ray, a stable argsort over the boolean
+keep-flags moves the (order-preserving) in-mask samples to the front, and the
+first ``K`` lanes are gathered into dense ``[n_rays, K]`` tensors. All
+downstream per-sample work (deform MLP, trilerp, color MLP) then costs K
+instead of S lanes. Samples beyond K are dropped — the same truncation the
+CUDA transmittance scan applies at T < 1e-3, here applied from the front of
+known-empty space. With ``K == S`` compaction is exactly equivalent to
+masked-dense rendering (parity-tested).
+
+The occupancy mask itself is rebuilt periodically from the *current* raw SDF
+grid (dilated min-pool, threshold in world SDF units) — adaptive, unlike the
+reference's frozen coarse-stage cache, because the probe object is sculpted
+from a cube during the run.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CompactSamples(NamedTuple):
+    pts: jnp.ndarray    # [N, K, 3]
+    step: jnp.ndarray   # [N, K]
+    mask: jnp.ndarray   # [N, K] bool — valid AND in-mask
+    index: jnp.ndarray  # [N, K] original sample index (diagnostics/tests)
+
+
+def build_mask_grid(sdf_grid: jnp.ndarray, thres: float, dilate: int = 3) -> jnp.ndarray:
+    """Boolean occupancy [X, Y, Z] from a raw SDF grid: ``min-pool(sdf) < thres``.
+
+    The min-pool (window ``dilate``³) makes the mask conservative: a voxel is
+    kept when any neighbor is within ``thres`` of the surface/interior, which
+    also absorbs small deformation-field offsets. Mirrors the reference's
+    max-pool dilation of density occupancy (`lib/grid.py:218`) in SDF sign
+    convention (occupied = sdf below threshold, `voxurf_coarse.py:1292`).
+    """
+    sdf = sdf_grid[0] if sdf_grid.ndim == 4 else sdf_grid  # [X, Y, Z]
+    if dilate > 1:
+        sdf = jax.lax.reduce_window(
+            sdf, jnp.asarray(jnp.inf, sdf.dtype), jax.lax.min,
+            window_dimensions=(dilate,) * 3, window_strides=(1,) * 3,
+            padding="SAME")
+    return jax.lax.stop_gradient(sdf < thres)
+
+
+def mask_lookup(mask: jnp.ndarray, xyz: jnp.ndarray, xyz_min, xyz_max) -> jnp.ndarray:
+    """Nearest-voxel occupancy at world points (CUDA `maskcache_lookup` parity).
+
+    mask: bool [X, Y, Z]; xyz: [..., 3]. Out-of-bounds points read the clamped
+    border voxel (callers AND with their own in-bbox mask anyway).
+    """
+    shape = mask.shape
+    scale = (jnp.asarray(shape, jnp.float32) - 1.0) / (jnp.asarray(xyz_max) - jnp.asarray(xyz_min))
+    ijk = (xyz - jnp.asarray(xyz_min)) * scale
+    ijk = jnp.rint(ijk).astype(jnp.int32)
+    i = jnp.clip(ijk[..., 0], 0, shape[0] - 1)
+    j = jnp.clip(ijk[..., 1], 0, shape[1] - 1)
+    k = jnp.clip(ijk[..., 2], 0, shape[2] - 1)
+    return mask[i, j, k]
+
+
+def compact_ray_samples(pts: jnp.ndarray, step: jnp.ndarray, keep: jnp.ndarray,
+                        K: int) -> CompactSamples:
+    """Gather the first K in-mask samples of each ray into dense [N, K] arrays.
+
+    keep: [N, S] bool. A stable argsort over ``~keep`` is an order-preserving
+    partition (False sorts first), so the kept lanes stay depth-sorted and the
+    exclusive-cumprod transmittance over them equals the masked-dense scan.
+    """
+    order = jnp.argsort(~keep, axis=1, stable=True)[:, :K]       # [N, K]
+    kept = jnp.take_along_axis(keep, order, axis=1)
+    return CompactSamples(
+        pts=jnp.take_along_axis(pts, order[..., None], axis=1),
+        step=jnp.take_along_axis(step, order, axis=1),
+        mask=kept,
+        index=order,
+    )

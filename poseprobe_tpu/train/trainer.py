@@ -50,6 +50,17 @@ class JointTrainer:
         self.cfg = cfg
         self.data = data
         self.mesh = mesh  # jax.sharding.Mesh for multi-chip ray-DP (None = single chip)
+        # progressive scaling (pg_scale): start at num_voxels / 2^len(pg_scale),
+        # double the voxel count at each checkpoint step (DVGO semantics for
+        # the reference's `pg_scale` knob, configs/dtu_e2e/fine.py:24)
+        self._pg_scale = tuple(cfg.object_train.pg_scale)
+        self._final_num_voxels = cfg.object_model.num_voxels
+        if self._pg_scale:
+            import dataclasses as _dc
+            shrunk = int(cfg.object_model.num_voxels / (2 ** len(self._pg_scale)))
+            cfg = _dc.replace(cfg, object_model=_dc.replace(
+                cfg.object_model, num_voxels=shrunk))
+            self.cfg = cfg
         seed = cfg.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
         k_obj, k_scene, k_noise, self._loop_key = jax.random.split(key, 4)
@@ -72,6 +83,22 @@ class JointTrainer:
         self.pair_j = jnp.asarray(data.pair_j)
         self.n_train = data.n_train
         self.H, self.W = data.H, data.W
+
+        # dilated-foreground-mask pixel pools for the scene ray sampler
+        # (`samples_in_mask`, sampling_strategies.py:57-89)
+        sc0 = cfg.scene_train
+        self.fg_pixels = self.fg_counts = None
+        self._n_fg_patches = 0
+        if sc0.sample_fraction_in_fg_mask > 0:
+            pools, counts = batching.dilate_fg_mask_pools(
+                data.masks[it], sc0.depth_regu_patch_size)
+            self.fg_pixels = jnp.asarray(pools)
+            self.fg_counts = jnp.asarray(counts)
+            n_patches = max(cfg.scene_model.rand_rays // self.n_train
+                            // sc0.depth_regu_patch_size**2, 1)
+            # cap by the smallest pool like the reference (min_nbr_in_mask)
+            self._n_fg_patches = min(int(n_patches * sc0.sample_fraction_in_fg_mask),
+                                     int(counts.min()))
 
         # --- models ---
         obj_params = object_sdf.init_object_params(k_obj, cfg.object_model)
@@ -107,6 +134,10 @@ class JointTrainer:
             step=0,
             n_active=2 if (cfg.camera.incremental and self.n_train > 2) else self.n_train,
         )
+        # free-space-skipping occupancy cache (rebuilt periodically in fit())
+        self.mask_arr = None
+        if cfg.object_model.use_maskcache:
+            self.refresh_maskcache()
         self.fine_start = (int(sc.max_iter * cfg.scene_model.ratio_start_fine_sampling_at_x)
                            if cfg.scene_model.ratio_start_fine_sampling_at_x is not None else 0)
         self.depth_cons_start = (int(sc.max_iter * sc.start_ratio_depth_cons)
@@ -132,7 +163,7 @@ class JointTrainer:
 
     @functools.partial(jax.jit, static_argnames=("self", "n_active", "object_on", "pose_on",
                                                  "fine_on", "depth_cons_on", "proj_use_deform", "precrop_on"))
-    def _train_step(self, state_tuple, rng, step, n_active: int,
+    def _train_step(self, state_tuple, rng, step, mask_arr, n_active: int,
                     object_on: bool, pose_on: bool, fine_on: bool,
                     depth_cons_on: bool, proj_use_deform: bool,
                     precrop_on: bool = False):
@@ -166,7 +197,8 @@ class JointTrainer:
                     obj_p, oc, batch.rays_o, batch.rays_d, batch.viewdirs,
                     global_step=step_f, rng=keys[1], use_deform=True, is_train=True,
                     near=self.data.near, far=self.data.far,
-                    bg=1.0 if self.data.white_bkgd else 0.0)
+                    bg=1.0 if self.data.white_bkgd else 0.0,
+                    mask_grid=mask_arr)
                 k0_tv = object_losses_mod.k0_total_variation(obj_p)
                 scalars, weights, obj_loss, psnr = object_losses_mod.object_losses(
                     render_out, batch.target, batch.mask, step_f, oc.N_iters,
@@ -213,10 +245,13 @@ class JointTrainer:
             sbatch = batching.sample_scene_pixels(
                 keys[3], n_active, sm.rand_rays // n_active, self.H, self.W,
                 sc.depth_regu_patch_size, self.images[:n_active], n_active,
-                precrop=bool(precrop_on), precrop_frac=sc.precrop_frac)
+                precrop=bool(precrop_on), precrop_frac=sc.precrop_frac,
+                center_fraction=sc.sampled_fraction_in_center,
+                fg_pixels=None if self.fg_pixels is None else self.fg_pixels[:n_active],
+                fg_counts=None if self.fg_counts is None else self.fg_counts[:n_active],
+                n_fg_patches=self._n_fg_patches)
             center, ray = rays_mod.get_center_and_ray_at_pixels(
-                active_pose, jnp.broadcast_to(sbatch.pixels, (n_active,) + sbatch.pixels.shape),
-                active_K)
+                active_pose, sbatch.pixels, active_K)
             center = mesh_mod.shard_rays(center, self.mesh, axis=1)
             ray = mesh_mod.shard_rays(ray, self.mesh, axis=1)
             rets = scene_nerf.render_rays(
@@ -334,6 +369,24 @@ class JointTrainer:
         self.state.obj_params = obj
         self.state.opt_obj = self.opt_obj.init(obj)
 
+    def refresh_maskcache(self) -> None:
+        """(Re)build the free-space occupancy mask from the current SDF grid."""
+        from ..ops import maskcache
+
+        om = self.cfg.object_model
+        self.mask_arr = maskcache.build_mask_grid(
+            self.state.obj_params["sdf_grid"], om.maskcache_thres, om.maskcache_dilate)
+
+    def maybe_pg_scale(self, step: int) -> None:
+        """Progressive-scaling host event: double the voxel count at each
+        pg_scale checkpoint (`configs/dtu_e2e/fine.py:24`; DVGO loop semantics)."""
+        if step not in self._pg_scale:
+            return
+        n_rest = len(self._pg_scale) - self._pg_scale.index(step) - 1
+        self.scale_volume_grid(int(self._final_num_voxels / (2 ** n_rest)))
+        if self.cfg.object_model.use_maskcache:
+            self.refresh_maskcache()
+
     def maybe_activate_view(self, step: int) -> None:
         """Incremental activation + PnP of the newly added view (host event)."""
         cfg = self.cfg
@@ -364,19 +417,30 @@ class JointTrainer:
         state_tuple = (state.obj_params, state.scene_params, state.pose_params,
                        state.opt_obj, state.opt_scene, state.opt_pose, state.poses_pnp)
         new_tuple, metrics = self._train_step(
-            state_tuple, rng, jnp.asarray(state.step, jnp.int32), **flags)
+            state_tuple, rng, jnp.asarray(state.step, jnp.int32), self.mask_arr, **flags)
         (state.obj_params, state.scene_params, state.pose_params,
          state.opt_obj, state.opt_scene, state.opt_pose, _) = new_tuple
         state.step += 1
         return metrics
 
     def fit(self, num_steps: int, log_every: int = 0, callback=None) -> list[dict]:
+        ot = self.cfg.object_train
         for _ in range(num_steps):
-            self.maybe_activate_view(self.state.step)
+            step = self.state.step
+            self.maybe_activate_view(step)
+            self.maybe_pg_scale(step)
+            if (self.cfg.object_model.use_maskcache and step > 0
+                    and step <= ot.N_iters
+                    and step % ot.maskcache_update_every == 0):
+                self.refresh_maskcache()
             self._loop_key, rng = jax.random.split(self._loop_key)
             metrics = self.step_once(rng)
             if log_every and self.state.step % log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
+                # in-loop NaN/Inf tripwire (reference `base_losses.py:96-97`)
+                if not np.isfinite(host.get("loss_total", 0.0)):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {self.state.step}: {host}")
                 host["step"] = self.state.step
                 host["n_active"] = self.state.n_active
                 self._metrics_hist.append(host)
@@ -386,13 +450,16 @@ class JointTrainer:
 
     # ------------------------------------------------------------------- eval
 
-    def validate(self, n_views: int = 1) -> float:
-        """Validation PSNR on test views rendered in the optimized frame.
+    def validate(self, n_views: int = 5) -> float:
+        """Validation PSNR over (up to) `n_views` test views rendered in the
+        optimized frame.
 
         Mirrors the periodic validation of `optimize_increamental`
-        (`recon_scene.py:688-722`): align the current train poses to GT,
+        (`recon_scene.py:688-722`) / `Graph.val_step` over the val split
+        (`renderer.py:937-1026`): align the current train poses to GT,
         backtrack the test poses through the inverse sim3, render, and return
-        mean PSNR. Updates `state.best_val`.
+        mean PSNR. Multi-view by default so best-ckpt selection is not noise
+        from a single view. Updates `state.best_val`.
         """
         import numpy as np
 

@@ -1,0 +1,177 @@
+"""Free-space skipping (ops/maskcache.py): lookup, compaction, render parity.
+
+Reference semantics: `MaskCache` thresholds a frozen SDF grid
+(`lib/voxurf_coarse.py:1271-1292`), `maskcache_lookup` is a nearest-voxel
+query (`lib/cuda/render_utils_kernel.cu:374-424`), and the CUDA sampler drops
+out-of-mask samples. Our TPU version compacts each ray to a static budget K;
+with K == S and an all-true mask it must be bit-exact with the dense render.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from poseprobe_tpu.models import object_sdf
+from poseprobe_tpu.models.object_sdf import ObjectConfig
+from poseprobe_tpu.ops import maskcache
+
+
+def _cfg(**kw):
+    base = dict(xyz_min=(-1.0,) * 3, xyz_max=(1.0,) * 3, num_voxels=16**3,
+                num_voxels_base=16**3, barf_c2f=None, N_iters=100)
+    base.update(kw)
+    return ObjectConfig(**base)
+
+
+def _rays(n=24):
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.5]]), (n, 1))
+    z = jnp.linspace(-0.35, 0.35, n)
+    rays_d = jnp.stack([z, jnp.zeros(n), jnp.ones(n)], -1)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return rays_o, rays_d, viewdirs
+
+
+def test_build_mask_grid_dilates():
+    sdf = jnp.ones((1, 8, 8, 8))
+    sdf = sdf.at[0, 4, 4, 4].set(-1.0)
+    mask = maskcache.build_mask_grid(sdf, thres=0.0, dilate=3)
+    m = np.asarray(mask)
+    # the occupied voxel and its 3^3 neighborhood are kept
+    assert m[4, 4, 4] and m[3, 4, 4] and m[5, 5, 5]
+    assert m.sum() == 27
+    assert not m[1, 1, 1]
+
+
+def test_mask_lookup_nearest_voxel():
+    mask = jnp.zeros((5, 5, 5), bool).at[2, 3, 1].set(True)
+    lo, hi = jnp.asarray([-1.0] * 3), jnp.asarray([1.0] * 3)
+    # voxel (2,3,1) center in world coords: -1 + idx * 0.5
+    pt_in = jnp.asarray([[0.0, 0.5, -0.5]])
+    pt_near = pt_in + 0.2  # rounds to (2,3,1)... (0.2*2=0.4 < 0.5/2 rounds back)
+    pt_out = jnp.asarray([[-1.0, -1.0, -1.0]])
+    assert bool(maskcache.mask_lookup(mask, pt_in, lo, hi)[0])
+    assert bool(maskcache.mask_lookup(mask, pt_near, lo, hi)[0])
+    assert not bool(maskcache.mask_lookup(mask, pt_out, lo, hi)[0])
+
+
+def test_compact_ray_samples_matches_numpy():
+    rng = np.random.RandomState(0)
+    N, S, K = 4, 12, 5
+    keep = rng.rand(N, S) > 0.5
+    pts = rng.randn(N, S, 3).astype(np.float32)
+    step = rng.rand(N, S).astype(np.float32)
+    out = maskcache.compact_ray_samples(jnp.asarray(pts), jnp.asarray(step),
+                                        jnp.asarray(keep), K)
+    for r in range(N):
+        idx = np.where(keep[r])[0][:K]
+        got_pts = np.asarray(out.pts[r])[np.asarray(out.mask[r])]
+        got_step = np.asarray(out.step[r])[np.asarray(out.mask[r])]
+        np.testing.assert_array_equal(got_pts, pts[r, idx])
+        np.testing.assert_array_equal(got_step, step[r, idx])
+        # kept lanes preserve the original (depth-sorted) sample order
+        kept_idx = np.asarray(out.index[r])[np.asarray(out.mask[r])]
+        np.testing.assert_array_equal(kept_idx, idx)
+
+
+def test_render_full_budget_exact_parity():
+    """keep=1.0 + all-true mask: compaction is the identity permutation."""
+    cfg = _cfg(use_maskcache=True, maskcache_thres=1e9, maskcache_keep=1.0)
+    params = object_sdf.init_object_params(jax.random.PRNGKey(0), cfg)
+    mask = maskcache.build_mask_grid(params["sdf_grid"], cfg.maskcache_thres)
+    assert bool(mask.all())
+    rays_o, rays_d, viewdirs = _rays()
+    kw = dict(global_step=50.0, rng=None, use_deform=True, is_train=False,
+              near=0.5, far=5.0)
+    full = object_sdf.render(params, cfg, rays_o, rays_d, viewdirs, **kw)
+    comp = object_sdf.render(params, cfg, rays_o, rays_d, viewdirs,
+                             mask_grid=mask, **kw)
+    for k in ("rgb_marched", "depth", "cum_weights", "normal_marched"):
+        np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(comp[k]))
+
+
+def test_render_tight_mask_preserves_composite():
+    """A surface-hugging mask + half sample budget keeps the rendered color,
+    depth, and opacity (the dropped lanes carry ~zero weight)."""
+    # world_bound_scale=2: the init cube fills ~half the bbox, so the mask
+    # genuinely excludes the outer free space
+    cfg = _cfg(use_maskcache=True, maskcache_thres=0.1, maskcache_keep=0.5,
+               world_bound_scale=2.0)
+    params = object_sdf.init_object_params(jax.random.PRNGKey(0), _cfg(world_bound_scale=2.0))
+    mask = maskcache.build_mask_grid(params["sdf_grid"], cfg.maskcache_thres,
+                                     cfg.maskcache_dilate)
+    frac = float(np.asarray(mask).mean())
+    assert 0.2 < frac < 0.98  # the mask actually excludes space
+    rays_o, rays_d, viewdirs = _rays()
+    # late-training s (sharp surface): the mask cache is a *converged-geometry*
+    # tool — with a soft early-training s, free space legitimately carries
+    # NeuS alpha and skipping it would (correctly) change the composite
+    kw = dict(global_step=1e5, rng=None, use_deform=False, is_train=False,
+              near=0.5, far=5.0)
+    full = object_sdf.render(params, cfg, rays_o, rays_d, viewdirs, **kw)
+    comp = object_sdf.render(params, cfg, rays_o, rays_d, viewdirs,
+                             mask_grid=mask, **kw)
+    assert comp["weights"].shape[1] == cfg.maskcache_K
+    np.testing.assert_allclose(np.asarray(comp["cum_weights"]),
+                               np.asarray(full["cum_weights"]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(comp["rgb_marched"]),
+                               np.asarray(full["rgb_marched"]), atol=2e-2)
+    hit = np.asarray(full["cum_weights"][:, 0]) > 0.5
+    np.testing.assert_allclose(np.asarray(comp["depth"])[hit],
+                               np.asarray(full["depth"])[hit], atol=5e-2)
+
+
+def _tiny_trainer(**obj_model_kw):
+    from poseprobe_tpu.config import config as cfg_mod
+    from poseprobe_tpu.data.synthetic import make_synthetic_scene
+    from poseprobe_tpu.models.scene_nerf import SceneConfig
+    from poseprobe_tpu.train.trainer import JointTrainer
+
+    data = make_synthetic_scene(n_train=3, n_test=1, H=20, W=20, seed=0)
+    margin = float(data.xyz_max[0])
+    om = dict(xyz_min=(-margin,) * 3, xyz_max=(margin,) * 3,
+              num_voxels=16**3, num_voxels_base=16**3, N_iters=50,
+              barf_c2f=None, world_bound_scale=1.25)
+    om.update(obj_model_kw)
+    obj_train = cfg_mod.ObjectTrainConfig(
+        N_iters=50, N_rand=32, decay_step_module=(), tv_updates=(),
+        weight_tv_density=0.0, weight_tv_k0=0.0,
+        maskcache_update_every=2,
+        pg_scale=obj_model_kw.pop("_pg_scale", ()))
+    cfg = cfg_mod.ExperimentConfig(
+        data=cfg_mod.DataConfig(near=data.near, far=data.far),
+        camera=cfg_mod.CameraConfig(incremental=False, barf_c2f=None),
+        pnp=cfg_mod.PnPConfig(use_pnp=False),
+        object_model=ObjectConfig(**om),
+        object_train=obj_train,
+        scene_model=SceneConfig(layers_feat=(16,) * 3, layers_rgb=(16, 3), skip=(),
+                                L_3D=2, L_view=1, sample_intvs=8, sample_intvs_fine=8,
+                                rand_rays=24, max_iter=100, barf_c2f=None,
+                                fine_sampling=False),
+        scene_train=cfg_mod.SceneTrainConfig(max_iter=100, start_ratio_depth_cons=None),
+    )
+    return JointTrainer(cfg, data, seed=0)
+
+
+def test_trainer_maskcache_smoke():
+    t = _tiny_trainer(use_maskcache=True, maskcache_thres=0.5, maskcache_keep=0.6)
+    assert t.mask_arr is not None
+    hist = t.fit(5, log_every=1)
+    assert all(np.isfinite(h["loss_total"]) for h in hist)
+
+
+def test_trainer_pg_scale_two_events():
+    """Train through two pg_scale recompiles: 16^3 final => start at 16^3/4."""
+    import dataclasses
+
+    t = _tiny_trainer()
+    # rebuild with pg_scale on the train config (final grid = 16^3)
+    cfg = dataclasses.replace(
+        t.cfg, object_train=dataclasses.replace(t.cfg.object_train, pg_scale=(2, 4)))
+    from poseprobe_tpu.train.trainer import JointTrainer
+    t2 = JointTrainer(cfg, t.data, seed=0)
+    start_shape = t2.state.obj_params["sdf_grid"].shape
+    assert np.prod(start_shape[1:]) < 16**3 / 2
+    hist = t2.fit(6, log_every=1)
+    end_shape = t2.state.obj_params["sdf_grid"].shape
+    assert np.prod(end_shape[1:]) >= 16**3 * 0.7  # trilinear world_size rounding
+    assert np.prod(end_shape[1:]) > np.prod(start_shape[1:])
+    assert all(np.isfinite(h["loss_total"]) for h in hist)

@@ -95,3 +95,104 @@ class TestBatching:
         assert ((px[:, 2] - px[:, 0]) == [0, 1]).all()
         assert ((px[:, 3] - px[:, 0]) == [1, 1]).all()
         assert px[..., 0].max() <= 31 and px[..., 1].max() <= 31
+
+
+class TestSceneSamplerFractions:
+    """fg-mask / center sampling parity (`sampling_strategies.py:146-167`)."""
+
+    def _blob_masks(self, n=3, H=48, W=48):
+        masks = np.zeros((n, H, W, 1), np.float32)
+        for b in range(n):
+            masks[b, 18 + b:26 + b, 20:28, 0] = 1.0  # per-view offset blob
+        return masks
+
+    def test_dilate_pools_grow_and_respect_bounds(self):
+        masks = self._blob_masks()
+        pools, counts = batching.dilate_fg_mask_pools(masks, patch_size=2, dilation=10)
+        assert pools.shape[0] == 3 and (counts > 0).all()
+        # 8x8 blob dilated by 10 -> 28x28 box (clipped by patch bound)
+        assert counts[0] > 8 * 8 * 4
+        # no pixel beyond the patch-expansion bound
+        assert pools[..., 0].max() <= 48 - 2 - 2 and pools[..., 1].max() <= 48 - 2 - 2
+
+    def test_fg_fraction_lands_in_dilated_mask(self):
+        H = W = 48
+        masks = self._blob_masks(H=H, W=W)
+        pools, counts = batching.dilate_fg_mask_pools(masks, patch_size=2)
+        images = jnp.zeros((3, H, W, 3))
+        n_patches = 64 // 4
+        n_fg = int(n_patches * 0.5)
+        b = batching.sample_scene_pixels(
+            jax.random.PRNGKey(0), 3, 64, H, W, patch_size=2, images=images,
+            n_active=3, fg_pixels=jnp.asarray(pools), fg_counts=jnp.asarray(counts),
+            n_fg_patches=n_fg)
+        px = np.asarray(b.pixels)  # [3, P, 2]
+        assert px.shape == (3, n_patches * 4, 2)
+        # build the dilated-mask membership per view
+        dil = np.zeros((3, H, W), bool)
+        for v in range(3):
+            dil[v, pools[v, :counts[v], 1], pools[v, :counts[v], 0]] = True
+        # the last n_fg patches per view are inside (patch corner sampled from pool;
+        # expansion stays within the dilated region up to patch_size-1 px — allow that)
+        fg_part = px[:, -(n_fg * 4):]
+        for v in range(3):
+            x = fg_part[v, :, 0].astype(int)
+            y = fg_part[v, :, 1].astype(int)
+            near = dil[v, np.clip(y, 0, H - 1), np.clip(x, 0, W - 1)]
+            assert near.mean() > 0.9
+        # fg pixels differ across views (per-view pools); shared part identical
+        shared = px[:, : (n_patches - n_fg) * 4]
+        assert np.array_equal(shared[0], shared[1])
+        assert not np.array_equal(fg_part[0], fg_part[1])
+
+    def test_center_fraction_lands_in_center_box(self):
+        H = W = 64
+        images = jnp.zeros((2, H, W, 3))
+        b = batching.sample_scene_pixels(
+            jax.random.PRNGKey(3), 2, 256, H, W, patch_size=2, images=images,
+            n_active=2, center_fraction=0.5, precrop_frac=0.5)
+        px = np.asarray(b.pixels)[0]  # shared across views
+        n_patches = 256 // 4
+        n_center = int(n_patches * 0.5)
+        center_part = px[-(n_center * 4):]
+        dH = dW = H // 4
+        inside = ((center_part[:, 0] >= W // 2 - dW) & (center_part[:, 0] < W // 2 + dW)
+                  & (center_part[:, 1] >= H // 2 - dH) & (center_part[:, 1] < H // 2 + dH))
+        assert inside.all()
+        # the random part covers the full image (some outside center)
+        rand_part = px[: (n_patches - n_center) * 4]
+        outside = ((rand_part[:, 0] < W // 2 - dW) | (rand_part[:, 0] >= W // 2 + dW)
+                   | (rand_part[:, 1] < H // 2 - dH) | (rand_part[:, 1] >= H // 2 + dH))
+        assert outside.any()
+
+    def test_trainer_accepts_fg_sampler(self):
+        from poseprobe_tpu.config import config as cfg_mod
+        from poseprobe_tpu.data.synthetic import make_synthetic_scene
+        from poseprobe_tpu.models.object_sdf import ObjectConfig
+        from poseprobe_tpu.models.scene_nerf import SceneConfig
+        from poseprobe_tpu.train.trainer import JointTrainer
+
+        data = make_synthetic_scene(n_train=3, n_test=1, H=24, W=24, seed=0)
+        margin = float(data.xyz_max[0])
+        cfg = cfg_mod.ExperimentConfig(
+            data=cfg_mod.DataConfig(near=data.near, far=data.far),
+            camera=cfg_mod.CameraConfig(incremental=False, barf_c2f=None),
+            pnp=cfg_mod.PnPConfig(use_pnp=False),
+            object_model=ObjectConfig(
+                xyz_min=(-margin,) * 3, xyz_max=(margin,) * 3,
+                num_voxels=16**3, num_voxels_base=16**3, N_iters=50,
+                barf_c2f=None, world_bound_scale=1.25),
+            object_train=cfg_mod.ObjectTrainConfig(
+                N_iters=50, N_rand=32, decay_step_module=(), tv_updates=(),
+                weight_tv_density=0.0, weight_tv_k0=0.0),
+            scene_model=SceneConfig(layers_feat=(16,) * 3, layers_rgb=(16, 3), skip=(),
+                                    L_3D=2, L_view=1, sample_intvs=8, sample_intvs_fine=8,
+                                    rand_rays=24, max_iter=100, barf_c2f=None,
+                                    fine_sampling=False),
+            scene_train=cfg_mod.SceneTrainConfig(max_iter=100, start_ratio_depth_cons=None,
+                                                 sample_fraction_in_fg_mask=0.5),
+        )
+        t = JointTrainer(cfg, data, seed=0)
+        assert t.fg_pixels is not None and t._n_fg_patches >= 1
+        hist = t.fit(3, log_every=1)
+        assert all(np.isfinite(h["loss_total"]) for h in hist)
