@@ -109,8 +109,16 @@ def object_tv_losses(params: dict, cfg, nonempty_mask=None,
 
 
 def k0_total_variation(params: dict, nonempty_mask=None) -> jnp.ndarray:
-    """TV of the color feature grid (`k0_total_variation`, `voxurf_coarse.py:443-456`)."""
-    return grid_ops.total_variation(params["k0_grid"], nonempty_mask)
+    """TV of the color feature grid (`k0_total_variation`, `voxurf_coarse.py:443-456`).
+
+    Dispatches on the grid backend: dense grids use the 6-neighbor TV, the
+    TensoRF VM decomposition uses its plane/vector smooth-L1 TV
+    (`TensoRFGrid.total_variation_add_grad`, lib/grid.py:147-160)."""
+    k0 = params["k0_grid"]
+    if isinstance(k0, dict):
+        from ..ops import tensorf
+        return tensorf.tensorf_total_variation(k0)
+    return grid_ops.total_variation(k0, nonempty_mask)
 
 
 def _tv_smooth_kernel():

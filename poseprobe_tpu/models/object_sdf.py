@@ -61,6 +61,11 @@ class ObjectConfig:
     step_start: int = 0
     # sampling
     stepsize: float = 1.5
+    # feature-grid backend (`create_grid` dispatch, lib/grid.py:27-35): the
+    # SDF grid stays dense like the reference Voxurf (`voxurf_coarse.py:121`);
+    # k0 may use the VM-decomposed TensoRF grid (`lib/grid.py:95-206`)
+    grid_type: str = "dense"          # "dense" | "tensorf"
+    tensorf_n_comp: int = 24
     # pose/barf
     barf_c2f: tuple | None = (0.6, 1.0)
     N_iters: int = 10000
@@ -160,14 +165,31 @@ def cube_sdf_init(cfg: ObjectConfig) -> jnp.ndarray:
     return jnp.asarray(sdf[None], dtype=jnp.float32)  # [1, X, Y, Z]
 
 
+def init_k0_grid(key, cfg: ObjectConfig):
+    """Feature-grid init with backend dispatch (`create_grid`, lib/grid.py:27-35)."""
+    if cfg.grid_type == "tensorf":
+        from ..ops import tensorf
+        return tensorf.init_tensorf_params(key, cfg.rgbnet_dim, cfg.world_size,
+                                           cfg.tensorf_n_comp)
+    return jnp.zeros((cfg.rgbnet_dim,) + tuple(cfg.world_size), jnp.float32)
+
+
+def sample_k0(params: dict, cfg: ObjectConfig, pts, lo, hi):
+    """k0 feature lookup at world points for either grid backend."""
+    if cfg.grid_type == "tensorf":
+        from ..ops import tensorf
+        return tensorf.tensorf_sample(params["k0_grid"], pts, lo, hi)
+    return grid_ops.trilinear_sample(params["k0_grid"], pts, lo, hi)
+
+
 def init_object_params(key, cfg: ObjectConfig) -> dict:
-    k_rgb, k_warp = jax.random.split(key)
+    k_rgb, k_warp, k_k0 = jax.random.split(key, 3)
     dims = [cfg.rgbnet_in_dim()] + [cfg.rgbnet_width] * (cfg.rgbnet_depth - 1) + [3]
     rgbnet = init_mlp(k_rgb, dims, scheme="torch")
     rgbnet[-1]["b"] = jnp.zeros_like(rgbnet[-1]["b"])  # final bias zero (ref :216)
     return {
         "sdf_grid": cube_sdf_init(cfg),
-        "k0_grid": jnp.zeros((cfg.rgbnet_dim,) + tuple(cfg.world_size), jnp.float32),
+        "k0_grid": init_k0_grid(k_k0, cfg),
         "rgbnet": rgbnet,
         "warpnet": deform_mod.init_deform_params(k_warp, cfg.range_shape_max),
         "sdf_alpha": jnp.asarray(10.0),
@@ -234,7 +256,7 @@ def _color_head(params: dict, cfg: ObjectConfig, pts, viewdirs, gradient, progre
     xyz_emb = pe.posenc_object(rays_xyz, cfg.posbase_pe, progress, cfg.barf_c2f)
     view_emb = pe.posenc_object(viewdirs, cfg.viewbase_pe, progress, cfg.barf_c2f)
     view_emb = jnp.broadcast_to(view_emb[:, None, :], pts.shape[:2] + (view_emb.shape[-1],))
-    k0 = grid_ops.trilinear_sample(params["k0_grid"], pts, lo, hi)
+    k0 = sample_k0(params, cfg, pts, lo, hi)
     feats = [k0, xyz_emb, view_emb]
     if cfg.geo_rgb_dim == 3:
         normal = gradient / (safe_norm(gradient, keepdims=True) + 1e-5)

@@ -375,7 +375,10 @@ def resize_trilinear(grid: jnp.ndarray, new_size: tuple[int, int, int]) -> jnp.n
         grid,
         pts,
         jnp.zeros(3, dtype=grid.dtype),
-        jnp.array([X - 1.0, Y - 1.0, Z - 1.0], dtype=grid.dtype),
+        # size-1 source dims have zero extent; clamp to avoid 0/0 in the
+        # coordinate normalization (all query coords are 0 there anyway)
+        jnp.array([max(X - 1.0, 1.0), max(Y - 1.0, 1.0), max(Z - 1.0, 1.0)],
+                  dtype=grid.dtype),
     )
     return jnp.moveaxis(out, -1, 0)
 

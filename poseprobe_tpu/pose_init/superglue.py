@@ -67,11 +67,19 @@ def superpoint_forward(weights: dict, image_gray: jnp.ndarray,
     h, w = scores.shape[:2]
     # depth-to-space 8x8
     heat = scores.reshape(h, w, 8, 8).transpose(0, 2, 1, 3).reshape(h * 8, w * 8)
-    # NMS via max-pooling
+    # iterative NMS (`simple_nms`, superpoint.py:47-62): two suppression
+    # rounds that re-admit maxima outside already-suppressed neighborhoods
     k = 2 * nms_radius + 1
-    pooled = jax.lax.reduce_window(heat, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME")
-    heat = jnp.where(heat == pooled, heat, 0.0)
-    heat = jnp.where(heat >= keypoint_threshold, heat, 0.0)
+    maxpool = lambda x: jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME")
+    max_mask = heat == maxpool(heat)
+    for _ in range(2):
+        supp_mask = maxpool(max_mask.astype(heat.dtype)) > 0
+        supp_scores = jnp.where(supp_mask, 0.0, heat)
+        new_max_mask = supp_scores == maxpool(supp_scores)
+        max_mask = max_mask | (new_max_mask & (~supp_mask))
+    heat = jnp.where(max_mask, heat, 0.0)
+    heat = jnp.where(heat > keypoint_threshold, heat, 0.0)
     # remove border
     b = 4
     mask = jnp.zeros_like(heat).at[b:-b, b:-b].set(1.0)
@@ -85,11 +93,15 @@ def superpoint_forward(weights: dict, image_gray: jnp.ndarray,
     cda = relu(_conv(x, weights["convDa.weight"], weights["convDa.bias"]))
     desc_map = _conv(cda, weights["convDb.weight"], weights["convDb.bias"])  # [h, w, 256]
     desc_map = desc_map / (jnp.linalg.norm(desc_map, axis=-1, keepdims=True) + 1e-8)
-    # bilinear sample at keypoints (descriptor grid is 1/8 resolution)
+    # bilinear sample at keypoints (descriptor grid is 1/8 resolution);
+    # exact `sample_descriptors` coordinates (superpoint.py:80-93):
+    # align_corners grid_sample of u = (k - s/2 + 0.5)/(dim*s - s/2 - 0.5)
     from ..core.geometry import bilinear_image_sample
     s = 8.0
-    desc_pts = jnp.stack([(keypoints[:, 0] - s / 2 + 0.5) / s,
-                          (keypoints[:, 1] - s / 2 + 0.5) / s], -1)
+    hd, wd = desc_map.shape[:2]
+    u = (keypoints[:, 0] - s / 2 + 0.5) / (wd * s - s / 2 - 0.5) * (wd - 1)
+    v = (keypoints[:, 1] - s / 2 + 0.5) / (hd * s - s / 2 - 0.5) * (hd - 1)
+    desc_pts = jnp.stack([u, v], -1)
     desc = bilinear_image_sample(desc_map, desc_pts)
     desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
     return keypoints, top_scores, desc
@@ -125,16 +137,19 @@ def _attention(q, k, v):
 def _attn_layer(weights: dict, prefix: str, x: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
     """One attentional aggregation layer (superglue.py AttentionalPropagation)."""
     D, H = 256, 4
+    # torch splits the channel axis as (dim, heads): head h reads the strided
+    # channels d*H + h (`MultiHeadedAttention.forward`, superglue.py:167-172)
     def proj(name, inp):
         w = jnp.asarray(weights[f"{prefix}.attn.proj.{name}.weight"])[:, :, 0]
         b = jnp.asarray(weights[f"{prefix}.attn.proj.{name}.bias"])
         out = inp @ w.T + b
-        return out.reshape(-1, H, D // H).transpose(1, 0, 2)  # [H, N, 64]
+        return out.reshape(-1, D // H, H).transpose(2, 0, 1)  # [H, N, 64]
 
     q = proj("0", x)
     k = proj("1", source)
     v = proj("2", source)
-    msg = _attention(q, k, v).transpose(1, 0, 2).reshape(-1, D)
+    # merge input channel order is again d*H + h (x.view(b, dim*heads, n))
+    msg = _attention(q, k, v).transpose(1, 2, 0).reshape(-1, D)
     w_m = jnp.asarray(weights[f"{prefix}.attn.merge.weight"])[:, :, 0]
     b_m = jnp.asarray(weights[f"{prefix}.attn.merge.bias"])
     msg = msg @ w_m.T + b_m

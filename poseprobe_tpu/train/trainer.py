@@ -364,7 +364,11 @@ class JointTrainer:
         new_size = new_cfg.world_size
         obj = dict(self.state.obj_params)
         obj["sdf_grid"] = grid_ops.resize_trilinear(obj["sdf_grid"], new_size)
-        obj["k0_grid"] = grid_ops.resize_trilinear(obj["k0_grid"], new_size)
+        if isinstance(obj["k0_grid"], dict):
+            from ..ops import tensorf
+            obj["k0_grid"] = tensorf.tensorf_resize(obj["k0_grid"], new_size)
+        else:
+            obj["k0_grid"] = grid_ops.resize_trilinear(obj["k0_grid"], new_size)
         self.cfg = dataclasses.replace(self.cfg, object_model=new_cfg)
         self.state.obj_params = obj
         self.state.opt_obj = self.opt_obj.init(obj)

@@ -94,3 +94,42 @@ class TestTensoRF:
         inside = T.mask_grid_lookup(mask, jnp.array([[4 / 7, 4 / 7, 4 / 7]]))
         outside = T.mask_grid_lookup(mask, jnp.array([[0.0, 0.0, 0.0]]))
         assert bool(inside[0]) and not bool(outside[0])
+
+
+class TestTensoRFBackendE2E:
+    """grid_type='tensorf' routes ops/tensorf.py through the object model
+    (`create_grid` dispatch, lib/grid.py:27-35)."""
+
+    def test_trainer_smoke_with_tensorf_k0(self):
+        from poseprobe_tpu.config import config as cfg_mod
+        from poseprobe_tpu.data.synthetic import make_synthetic_scene
+        from poseprobe_tpu.models.object_sdf import ObjectConfig
+        from poseprobe_tpu.models.scene_nerf import SceneConfig
+        from poseprobe_tpu.train.trainer import JointTrainer
+
+        data = make_synthetic_scene(n_train=3, n_test=1, H=20, W=20, seed=0)
+        m = float(data.xyz_max[0])
+        cfg = cfg_mod.ExperimentConfig(
+            data=cfg_mod.DataConfig(near=data.near, far=data.far),
+            camera=cfg_mod.CameraConfig(incremental=False, barf_c2f=None),
+            pnp=cfg_mod.PnPConfig(use_pnp=False),
+            object_model=ObjectConfig(
+                xyz_min=(-m,) * 3, xyz_max=(m,) * 3,
+                num_voxels=16**3, num_voxels_base=16**3, N_iters=50,
+                barf_c2f=None, world_bound_scale=1.25,
+                grid_type="tensorf", tensorf_n_comp=4),
+            object_train=cfg_mod.ObjectTrainConfig(
+                N_iters=50, N_rand=32, decay_step_module=(), tv_updates=(),
+                weight_tv_density=0.0, weight_tv_k0=0.01, pg_scale=(2,)),
+            scene_model=SceneConfig(layers_feat=(16,) * 3, layers_rgb=(16, 3), skip=(),
+                                    L_3D=2, L_view=1, sample_intvs=8, sample_intvs_fine=8,
+                                    rand_rays=24, max_iter=100, barf_c2f=None,
+                                    fine_sampling=False),
+            scene_train=cfg_mod.SceneTrainConfig(max_iter=100, start_ratio_depth_cons=None),
+        )
+        t = JointTrainer(cfg, data, seed=0)
+        assert isinstance(t.state.obj_params["k0_grid"], dict)
+        hist = t.fit(4, log_every=1)  # trains through one pg_scale resize
+        assert all(np.isfinite(h["loss_total"]) for h in hist)
+        # k0 received updates (lr > 0, TV loss active)
+        assert float(jnp.abs(t.state.obj_params["k0_grid"]["xy_plane"]).sum()) > 0
