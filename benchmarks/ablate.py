@@ -1,0 +1,105 @@
+"""Per-component step-time ablation on the DTU-scale joint workload.
+
+Answers "where do the 115 ms go?" (PERFORMANCE.md): builds one JointTrainer
+per variant with a component disabled (or an optimization enabled), times the
+jitted step, and prints a table. Each variant is its own compiled program and
+every step folds a fresh PRNGKey, so the axon relay cannot serve cached
+executions (CLAUDE.md pitfall).
+
+Usage: python benchmarks/ablate.py [--small] [--iters 20]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def build(variant: str, small: bool):
+    from bench import build_trainer
+
+    trainer = build_trainer(small=small)
+    cfg = trainer.cfg
+    ot, om, sc = cfg.object_train, cfg.object_model, cfg.scene_train
+    if variant == "baseline":
+        return trainer
+    if variant == "no_corres":
+        lw = tuple((k, None if k == "corres" else v) for k, v in sc.loss_weight)
+        sc = dataclasses.replace(sc, loss_weight=lw)
+    elif variant == "no_depth_cons":
+        sc = dataclasses.replace(sc, start_ratio_depth_cons=None)
+    elif variant == "no_proj":
+        ot = dataclasses.replace(ot, projection_dis_error=0.0)
+    elif variant == "no_tv":
+        ot = dataclasses.replace(ot, weight_tv_density=0.0, weight_tv_k0=0.0)
+    elif variant == "no_object":
+        ot = dataclasses.replace(ot, N_iters=0)
+    elif variant == "no_fine":
+        sm = dataclasses.replace(cfg.scene_model, fine_sampling=False)
+        cfg = dataclasses.replace(cfg, scene_model=sm)
+    elif variant == "maskcache":
+        om = dataclasses.replace(om, use_maskcache=True, maskcache_thres=0.1,
+                                 maskcache_keep=0.5)
+    elif variant == "pallas":
+        om = dataclasses.replace(om, use_pallas_composite=True)
+    elif variant == "maskcache+pallas":
+        om = dataclasses.replace(om, use_maskcache=True, maskcache_thres=0.1,
+                                 maskcache_keep=0.5, use_pallas_composite=True)
+    else:
+        raise ValueError(variant)
+    cfg = dataclasses.replace(cfg, object_train=ot, object_model=om, scene_train=sc)
+    from poseprobe_tpu.train.trainer import JointTrainer
+
+    return JointTrainer(cfg, trainer.data)
+
+
+def time_variant(variant: str, small: bool, warmup: int, iters: int) -> float:
+    import jax
+
+    trainer = build(variant, small)
+    # exercise the mid-training phase (fine sampling on, depth_cons on)
+    trainer.state.step = max(trainer.fine_start, trainer.depth_cons_start, 1)
+    key = jax.random.PRNGKey(0)
+    m = None
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        m = trainer.step_once(sub)
+    jax.block_until_ready(m["loss_total"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        m = trainer.step_once(sub)
+    jax.block_until_ready(m["loss_total"])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--variants", type=str, default="")
+    args = ap.parse_args()
+
+    variants = args.variants.split(",") if args.variants else [
+        "baseline", "no_corres", "no_depth_cons", "no_proj", "no_tv",
+        "no_object", "no_fine", "maskcache", "pallas", "maskcache+pallas",
+    ]
+    results = {}
+    base = None
+    for v in variants:
+        dt = time_variant(v, args.small, args.warmup, args.iters)
+        results[v] = dt
+        if v == "baseline":
+            base = dt
+        delta = f" ({(dt - base) * 1e3:+7.2f} ms vs base)" if base and v != "baseline" else ""
+        print(f"{v:18s} {dt * 1e3:8.2f} ms/step{delta}", flush=True)
+    print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

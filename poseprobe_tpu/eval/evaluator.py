@@ -82,8 +82,9 @@ def test_time_pose_optim(
 
 
 def render_full(scene_params, scene_cfg, pose_w2c, K, H, W, depth_range,
-                chunk: int = 4096):
-    use_fine = scene_cfg.fine_sampling
+                chunk: int = 4096, use_fine: bool | None = None):
+    if use_fine is None:
+        use_fine = scene_cfg.fine_sampling
     center, ray = rays_mod.get_center_and_ray(pose_w2c[None], H, W, K[None])
     suffix = "_fine" if use_fine else ""
     outs = {"rgb": [], "depth": [], "depth_var": [], "opacity": []}

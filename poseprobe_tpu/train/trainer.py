@@ -480,9 +480,14 @@ class JointTrainer:
             i = data.i_test[t]
             pose_t = align_mod.backtrack_from_aligning_the_trajectory(
                 jnp.asarray(data.poses_gt_w2c[i][None]), sim3)[0]
+            # before fine sampling starts training, the fine MLP is untrained —
+            # score the coarse output (else val PSNR is a frozen constant)
+            fine_trained = bool(self.cfg.scene_model.fine_sampling
+                                and self.state.step >= self.fine_start)
             out = evaluator.render_full(self.state.scene_params, self.cfg.scene_model,
                                         pose_t, jnp.asarray(data.Ks[i]),
-                                        self.H, self.W, (data.near, data.far))
+                                        self.H, self.W, (data.near, data.far),
+                                        use_fine=fine_trained)
             psnrs.append(float(metrics_mod.psnr(out["rgb"], jnp.asarray(data.images[i]))))
         val = float(np.mean(psnrs))
         if val > self.state.best_val:

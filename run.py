@@ -55,7 +55,10 @@ def load_config(args):
             object_model=ObjectConfig(xyz_min=(-0.56,) * 3, xyz_max=(0.56,) * 3,
                                       num_voxels=64**3, num_voxels_base=64**3,
                                       N_iters=4000, world_bound_scale=1.25),
-            object_train=cfg_mod.ObjectTrainConfig(N_iters=4000),
+            # joint pose refinement on (the generic-DTU regime, coarse.py:75-76;
+            # scan1 freezes poses with lr_pose=0 and leans on PnP alone)
+            object_train=cfg_mod.ObjectTrainConfig(N_iters=4000, lr_pose=1e-3,
+                                                   lr_pose_end=1e-4),
             scene_model=SceneConfig(max_iter=20000),
             scene_train=cfg_mod.SceneTrainConfig(max_iter=20000),
             camera=cfg_mod.CameraConfig(incremental=True, incremental_step=400),
@@ -101,6 +104,16 @@ def main():
     t0 = time.time()
 
     def on_log(h):
+        # pose error vs GT after small-system alignment (`recon_scene.py:654-668`)
+        try:
+            cur_p = trainer.current_pose()[: trainer.state.n_active]
+            gt_p = trainer.poses_gt[: trainer.state.n_active]
+            aligned_p, _ = align.prealign_w2c_small_camera_systems(cur_p, gt_p)
+            perr = align.evaluate_camera_alignment(aligned_p, gt_p)
+            h["rot_error"] = float(np.asarray(perr["R"]).mean())
+            h["trans_error"] = float(np.asarray(perr["t"]).mean())
+        except Exception:
+            pass
         logger.log(h)
         if h["step"] % args.i_print == 0:
             eps = time.time() - t0
@@ -108,6 +121,8 @@ def main():
                   f"psnr_scene {h.get('psnr_scene', 0):6.2f} "
                   f"psnr_obj {h.get('psnr_obj', float('nan')):6.2f} "
                   f"loss {h.get('loss_total', 0):8.4f} "
+                  f"R {h.get('rot_error', float('nan')):5.2f}deg "
+                  f"t {h.get('trans_error', float('nan')):5.2f} "
                   f"views {h['n_active']} "
                   f"({h['step'] / max(eps, 1e-9):.2f} it/s)")
         if args.i_validate and h["step"] % args.i_validate == 0:

@@ -257,3 +257,39 @@ class TestLPIPSParity:
                 lin = torch.from_numpy(blobs[f"lin{li}.model.1.weight"][:, :, 0, 0])
                 want = want + (diff[0] * lin[0][:, None, None]).sum(0).mean()
         np.testing.assert_allclose(got, float(want), rtol=2e-4)
+
+
+class TestVGGFeaturesPath:
+    def test_get_multi_features_vgg_path(self, tmp_path, monkeypatch):
+        """The weights-gated VGG feature extractor runs and matches a torch
+        mirror on the first conv block (role of `VGGLoss.get_multi_features`,
+        lib/vgg_loss.py)."""
+        rng = np.random.RandomState(1)
+        blobs = {}
+        torch.manual_seed(3)
+        convs = {}
+        for i, (cin, cout) in {0: (3, 64), 2: (64, 64), 5: (64, 128), 7: (128, 128)}.items():
+            m = torch.nn.Conv2d(cin, cout, 3, padding=1)
+            convs[i] = m
+            blobs[f"features.{i}.weight"] = m.weight.detach().numpy()
+            blobs[f"features.{i}.bias"] = m.bias.detach().numpy()
+        for li, c in enumerate((64, 128, 256, 512, 512)):
+            blobs[f"lin{li}.model.1.weight"] = rng.rand(1, c, 1, 1).astype(np.float32)
+        path = tmp_path / "lpips.npz"
+        np.savez(path, **blobs)
+        monkeypatch.setenv("POSEPROBE_LPIPS_WEIGHTS", str(path))
+
+        from poseprobe_tpu.eval.vgg_features import features_available, get_multi_features
+
+        assert features_available()
+        imgs = rng.rand(2, 16, 16, 3).astype(np.float32)
+        feats = get_multi_features(imgs, layers=2)
+        assert feats.shape == (2, 16, 16, 64 + 128)
+        assert np.isfinite(feats).all()
+        # first block parity vs torch (pre-pool, full res)
+        with torch.no_grad():
+            h = torch.from_numpy(imgs).permute(0, 3, 1, 2) * 2.0 - 1.0
+            h = torch.relu(convs[0](h))
+            h = torch.relu(convs[2](h))
+            want = h.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(feats[..., :64], want, atol=2e-4)
