@@ -39,6 +39,12 @@ def parse_args():
                    help="skip test-time photometric pose optimization")
     p.add_argument("--matcher", type=str, default="auto",
                    choices=["auto", "superglue", "classical"])
+    # schedule overrides for experimentation (mirror the reference's per-scene
+    # N_iters / ratio_end_joint_nerf_pose_refinement knobs)
+    p.add_argument("--object_iters", type=int, default=0,
+                   help="override object-branch N_iters")
+    p.add_argument("--pose_window", type=float, default=0.0,
+                   help="override ratio_end_joint_nerf_pose_refinement")
     return p.parse_args()
 
 
@@ -73,11 +79,23 @@ def load_config(args):
 
 
 def main():
+    import dataclasses
+
     args = parse_args()
     cfg = load_config(args)
     if args.seed is not None:
         from poseprobe_tpu.config.config import replace
         cfg = replace(cfg, seed=args.seed)
+    if args.object_iters:
+        cfg = dataclasses.replace(
+            cfg,
+            object_model=dataclasses.replace(cfg.object_model, N_iters=args.object_iters),
+            object_train=dataclasses.replace(cfg.object_train, N_iters=args.object_iters))
+    if args.pose_window:
+        cfg = dataclasses.replace(
+            cfg, scene_train=dataclasses.replace(
+                cfg.scene_train,
+                ratio_end_joint_nerf_pose_refinement=args.pose_window))
 
     import numpy as np
 

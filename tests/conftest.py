@@ -16,3 +16,24 @@ jax.config.update("jax_platforms", "cpu")
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running (minutes) test")
+
+
+import pytest  # noqa: E402
+
+_HEAVY_MODULES = ("test_trainer_e2e", "test_parallel", "test_maskcache",
+                  "test_vjp_tensorf")
+
+
+@pytest.fixture(autouse=True)
+def _bound_compile_cache(request):
+    """Clear jax's compiled-executable caches after compile-heavy tests.
+
+    The XLA CPU backend segfaults inside `backend_compile_and_load` once a
+    single process accumulates a few hundred compiled programs (reproduced
+    twice at ~test 133 of the full suite; the same tests pass in isolation).
+    Dropping the caches between trainer-scale tests keeps the live executable
+    count bounded. Costs recompiles only in modules that recompile anyway.
+    """
+    yield
+    if any(m in request.module.__name__ for m in _HEAVY_MODULES):
+        jax.clear_caches()
