@@ -94,8 +94,19 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int 
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
     Ks = np.tile(K[None], (n_views, 1, 1))
 
-    # cameras on an arc looking at the origin
-    angles = np.linspace(-0.5, 0.5, n_views) + rng.normal(0, 0.03, n_views)
+    # cameras on an arc looking at the origin. The train views span the FULL
+    # arc and the test views sit between them (interpolation), mirroring the
+    # reference's DTU protocol where test ids interleave the selected train
+    # ids (`load_dtu.py:44-46`) — a test view outside the training arc would
+    # measure extrapolation, which no few-shot method is scored on.
+    train_angles = np.linspace(-0.5, 0.5, n_train)
+    if n_test > 0 and n_train > 1:
+        mids = 0.5 * (train_angles[:-1] + train_angles[1:])
+        test_angles = np.array([mids[i % len(mids)] for i in range(n_test)])
+        test_angles += rng.normal(0, 0.02, n_test)  # off the exact midpoints
+    else:
+        test_angles = np.linspace(-0.4, 0.4, max(n_test, 1))[:n_test]
+    angles = np.concatenate([train_angles, test_angles]) + rng.normal(0, 0.03, n_views)
     radius = 2.6
     images, masks, poses_w2c, depths = [], [], [], []
     for a in angles:
