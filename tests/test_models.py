@@ -264,3 +264,36 @@ class TestSceneViewSplitParity:
         rgb_ref = jax.nn.sigmoid(x)
         np.testing.assert_allclose(np.asarray(out["rgb_samples"]), np.asarray(rgb_ref),
                                    atol=2e-5)
+
+
+class TestMixedPrecisionSceneMLP:
+    def test_bf16_matmuls_close_to_f32(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from poseprobe_tpu.models import scene_nerf
+
+        cfg32 = scene_nerf.SceneConfig(layers_feat=(64,) * 4, layers_rgb=(32, 3),
+                                       skip=(2,), L_3D=6, L_view=2,
+                                       sample_intvs=16, sample_intvs_fine=16,
+                                       rand_rays=32, fine_sampling=False,
+                                       barf_c2f=None, matmul_dtype="float32")
+        cfg16 = dataclasses.replace(cfg32, matmul_dtype="bfloat16")
+        params = scene_nerf.init_scene_params(jax.random.PRNGKey(0), cfg32)
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 16, 3), minval=-1, maxval=1)
+        ray = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 3))
+        o32 = scene_nerf.nerf_forward(params["nerf"], cfg32, pts, ray, 1.0)
+        o16 = scene_nerf.nerf_forward(params["nerf"], cfg16, pts, ray, 1.0)
+        # outputs are f32 in both cases; values agree to bf16 operand precision
+        assert o16["rgb_samples"].dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(o16["rgb_samples"]),
+                                   np.asarray(o32["rgb_samples"]), atol=3e-2)
+        np.testing.assert_allclose(np.asarray(o16["density_samples"]),
+                                   np.asarray(o32["density_samples"]),
+                                   atol=5e-2, rtol=5e-2)
+        # gradients flow and stay finite through the casts
+        g = jax.grad(lambda p: scene_nerf.nerf_forward(p, cfg16, pts, ray, 1.0)[
+            "rgb_samples"].sum())(params["nerf"])
+        assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
