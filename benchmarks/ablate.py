@@ -57,12 +57,18 @@ def build(variant: str, small: bool):
     return JointTrainer(cfg, trainer.data)
 
 
-def time_variant(variant: str, small: bool, warmup: int, iters: int) -> float:
+def time_variant(variant: str, small: bool, warmup: int, iters: int,
+                 phase: str = "mid") -> float:
     import jax
 
     trainer = build(variant, small)
-    # exercise the mid-training phase (fine sampling on, depth_cons on)
-    trainer.state.step = max(trainer.fine_start, trainer.depth_cons_start, 1)
+    if phase == "mid":
+        # fine sampling + depth_cons on, object branch over (70% of a run)
+        trainer.state.step = max(trainer.fine_start, trainer.depth_cons_start, 1)
+    else:
+        # early phase: object branch + coarse-only scene + corres (what
+        # bench.py's headline measures)
+        trainer.state.step = 1
     key = jax.random.PRNGKey(0)
     m = None
     for _ in range(warmup):
@@ -83,6 +89,7 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--variants", type=str, default="")
+    ap.add_argument("--phase", type=str, default="mid", choices=["early", "mid"])
     args = ap.parse_args()
 
     variants = args.variants.split(",") if args.variants else [
@@ -92,7 +99,7 @@ def main():
     results = {}
     base = None
     for v in variants:
-        dt = time_variant(v, args.small, args.warmup, args.iters)
+        dt = time_variant(v, args.small, args.warmup, args.iters, phase=args.phase)
         results[v] = dt
         if v == "baseline":
             base = dt

@@ -168,7 +168,12 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int 
     margin = cube_half * 1.3125
     return base.SceneData(
         images=images, masks=masks, Ks=Ks, poses_gt_w2c=poses_w2c,
-        i_train=i_train, i_test=i_test, near=0.5, far=6.0,
+        # far must cover the background wall for *oblique* rays: the wall at
+        # z=bg_dist is up to ~7 ray-units away at the image corners (the
+        # reference widens near/far per dataset the same way, load_data.py:91).
+        # far=6 clipped those rays and forced view-inconsistent floaters at
+        # the far plane — capping held-out PSNR at ~15.5 regardless of poses.
+        i_train=i_train, i_test=i_test, near=0.5, far=8.5,
         xyz_min=np.array([-margin] * 3, np.float32),
         xyz_max=np.array([margin] * 3, np.float32),
         obj_matches=obj_matches, scene_matches=scene_matches, pair_j=pair_j,

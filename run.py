@@ -57,7 +57,7 @@ def load_config(args):
 
         cfg = cfg_mod.ExperimentConfig(
             expname="synthetic",
-            data=cfg_mod.DataConfig(dataset_type="synthetic", near=0.5, far=6.0),
+            data=cfg_mod.DataConfig(dataset_type="synthetic", near=0.5, far=8.5),
             object_model=ObjectConfig(xyz_min=(-0.56,) * 3, xyz_max=(0.56,) * 3,
                                       num_voxels=64**3, num_voxels_base=64**3,
                                       N_iters=4000, world_bound_scale=1.25),
