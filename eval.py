@@ -60,7 +60,8 @@ def main():
             data.images[data.i_test], jnp.asarray(data.poses_gt_w2c[data.i_test]),
             jnp.asarray(data.Ks[data.i_test]), (data.near, data.far),
             test_photo=test_optim, test_iter=cfg.scene_train.test_iter,
-            save_dir=os.path.join(out_dir, "test_renders") if save else None)
+            save_dir=os.path.join(out_dir, "test_renders") if save else None,
+            progress=min(trainer.state.step / cfg.scene_model.max_iter, 1.0))
 
     # reference saves both blocks for the joint model (`recon_scene.py:906-929`)
     results = {"iteration": trainer.state.step}

@@ -43,6 +43,7 @@ def test_time_pose_optim(
     lr: float = 1e-3,
     rand_rays: int = 1024,
     seed: int = 0,
+    progress: float = 1.0,
 ) -> jnp.ndarray:
     """Optimize a per-image se3 refinement photometrically (`renderer.py:1312-1337`)."""
     H, W = image.shape[:2]
@@ -62,7 +63,7 @@ def test_time_pose_optim(
             pose = pose_ops.compose_pair(refine, pose_w2c_init)
             center, ray = rays_mod.get_center_and_ray_at_pixels(pose[None], pixels, K[None])
             rets = scene_nerf.render_rays(scene_params, scene_cfg, center, ray,
-                                          depth_range, progress=1.0, rng=None,
+                                          depth_range, progress=progress, rng=None,
                                           compute_fine=scene_cfg.fine_sampling,
                                           mode_train=False)
             rgb = rets.get("rgb_fine", rets["rgb"])
@@ -82,7 +83,16 @@ def test_time_pose_optim(
 
 
 def render_full(scene_params, scene_cfg, pose_w2c, K, H, W, depth_range,
-                chunk: int = 4096, use_fine: bool | None = None):
+                chunk: int = 4096, use_fine: bool | None = None,
+                progress: float = 1.0):
+    """Chunked full-image render.
+
+    `progress` MUST match the training progress of the checkpoint being
+    rendered: BARF's coarse-to-fine PE masks zero the high-frequency bands
+    during training, so their MLP input weights are still at init until the
+    c2f window closes — rendering a mid-training state at progress=1.0
+    injects untrained-band garbage (~15 dB on train views).
+    """
     if use_fine is None:
         use_fine = scene_cfg.fine_sampling
     center, ray = rays_mod.get_center_and_ray(pose_w2c[None], H, W, K[None])
@@ -92,7 +102,7 @@ def render_full(scene_params, scene_cfg, pose_w2c, K, H, W, depth_range,
     @jax.jit
     def render_chunk(c_chunk, r_chunk):
         return scene_nerf.render_rays(scene_params, scene_cfg, c_chunk, r_chunk,
-                                      depth_range, progress=1.0, rng=None,
+                                      depth_range, progress=progress, rng=None,
                                       compute_fine=use_fine, mode_train=False)
 
     total = H * W
@@ -120,6 +130,7 @@ def evaluate_full(
     test_iter: int = 100,
     lr_pose: float = 1e-3,
     save_dir: str | None = None,
+    progress: float = 1.0,
 ) -> dict[str, Any]:
     """Full test-set evaluation; returns the reference's JSON-style result dict.
 
@@ -138,9 +149,9 @@ def evaluate_full(
             pose_in_opt_frame = test_time_pose_optim(
                 scene_params, scene_cfg, pose_in_opt_frame, test_Ks[t],
                 jnp.asarray(test_images[t]), depth_range,
-                n_iters=test_iter, lr=lr_pose, seed=t)
+                n_iters=test_iter, lr=lr_pose, seed=t, progress=progress)
         out = render_full(scene_params, scene_cfg, pose_in_opt_frame, test_Ks[t],
-                          H, W, depth_range)
+                          H, W, depth_range, progress=progress)
         gt = jnp.asarray(test_images[t])
         psnrs.append(float(metrics_mod.psnr(out["rgb"], gt)))
         ssims.append(float(metrics_mod.ssim(out["rgb"], gt)))

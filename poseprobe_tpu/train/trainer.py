@@ -481,13 +481,16 @@ class JointTrainer:
             pose_t = align_mod.backtrack_from_aligning_the_trajectory(
                 jnp.asarray(data.poses_gt_w2c[i][None]), sim3)[0]
             # before fine sampling starts training, the fine MLP is untrained —
-            # score the coarse output (else val PSNR is a frozen constant)
+            # score the coarse output (else val PSNR is a frozen constant).
+            # progress must match training: BARF-masked PE bands have
+            # untrained weights until the c2f window closes.
             fine_trained = bool(self.cfg.scene_model.fine_sampling
                                 and self.state.step >= self.fine_start)
+            progress = min(self.state.step / self.cfg.scene_model.max_iter, 1.0)
             out = evaluator.render_full(self.state.scene_params, self.cfg.scene_model,
                                         pose_t, jnp.asarray(data.Ks[i]),
                                         self.H, self.W, (data.near, data.far),
-                                        use_fine=fine_trained)
+                                        use_fine=fine_trained, progress=progress)
             psnrs.append(float(metrics_mod.psnr(out["rgb"], jnp.asarray(data.images[i]))))
         val = float(np.mean(psnrs))
         if val > self.state.best_val:
@@ -502,11 +505,12 @@ class JointTrainer:
         center, ray = rays_mod.get_center_and_ray(pose_w2c[None], self.H, self.W, K[None])
         outs: dict[str, list] = {"rgb": [], "depth": [], "opacity": [], "depth_var": []}
         suffix = "_fine" if use_fine else ""
+        progress = min(self.state.step / sm.max_iter, 1.0)
         for c in range(0, self.H * self.W, chunk):
             sl = slice(c, min(c + chunk, self.H * self.W))
             rets = scene_nerf.render_rays(
                 self.state.scene_params, sm, center[:, sl], ray[:, sl],
-                (self.data.near, self.data.far), progress=1.0, rng=None,
+                (self.data.near, self.data.far), progress=progress, rng=None,
                 compute_fine=use_fine, mode_train=False)
             for k in outs:
                 outs[k].append(rets[k + suffix])

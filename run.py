@@ -187,7 +187,8 @@ def main():
             data.images[data.i_test], jnp.asarray(data.poses_gt_w2c[data.i_test]),
             jnp.asarray(data.Ks[data.i_test]), (data.near, data.far),
             test_photo=not args.no_test_optim and cfg.scene_train.test_photo,
-            test_iter=cfg.scene_train.test_iter)
+            test_iter=cfg.scene_train.test_iter,
+            progress=min(trainer.state.step / cfg.scene_model.max_iter, 1.0))
         print(json.dumps(results, indent=2))
         with open(os.path.join(out_dir, f"{cfg.expname}.json"), "w") as f:
             json.dump(results, f, indent=2)
