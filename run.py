@@ -43,6 +43,8 @@ def parse_args():
     # N_iters / ratio_end_joint_nerf_pose_refinement knobs)
     p.add_argument("--object_iters", type=int, default=0,
                    help="override object-branch N_iters")
+    p.add_argument("--n_views", type=int, default=0,
+                   help="synthetic scene: number of training views (3-6)")
     p.add_argument("--pose_window", type=float, default=0.0,
                    help="override ratio_end_joint_nerf_pose_refinement")
     return p.parse_args()
@@ -111,7 +113,10 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     print(f"[run] loading data ({cfg.data.dataset_type}) ...")
-    data = load_data(cfg.data, matcher_backend=args.matcher)
+    loader_kwargs = {}
+    if args.n_views and cfg.data.dataset_type == "synthetic":
+        loader_kwargs["n_train"] = args.n_views
+    data = load_data(cfg.data, matcher_backend=args.matcher, **loader_kwargs)
     print(f"[run] {data.n_train} train views, {len(data.i_test)} test views, "
           f"{data.H}x{data.W}")
 
