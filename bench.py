@@ -59,20 +59,31 @@ def build_trainer(small: bool = False):
     return JointTrainer(cfg, data)
 
 
-def _tpu_reachable(timeout_s: int = 120) -> bool:
-    """Probe the TPU in a subprocess: a dead tunnel hangs jax init forever."""
+def _tpu_reachable(timeout_s: int = 150, attempts: int = 2) -> bool:
+    """Probe the TPU in a subprocess: a dead tunnel hangs jax init forever.
+
+    Two attempts with a generous timeout — a single short probe can lose the
+    race against another process briefly holding the tunnel and wrongly
+    demote the benchmark to CPU.
+    """
     import subprocess
     import sys
+    import time as _time
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "print(jax.jit(lambda x: x.sum())(jnp.ones(8)))"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except Exception:
-        return False
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(jax.jit(lambda x: x.sum())(jnp.ones(8)))"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except Exception:
+            pass
+        if i + 1 < attempts:
+            _time.sleep(30)
+    return False
 
 
 def main(small: bool = False, warmup: int = 3, iters: int = 20):
