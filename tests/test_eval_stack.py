@@ -178,3 +178,51 @@ class TestColoredMesh:
         rgb = object_sdf.mesh_color_forward(params, cfg, pts)
         assert rgb.shape == (100, 3)
         assert (rgb >= 0).all() and (rgb <= 1).all()
+
+
+class TestEvalProgressThreading:
+    """Regression: mid-training eval renders must use the checkpoint's BARF
+    progress — rendering at progress=1.0 activates PE bands whose MLP weights
+    are untrained (masked during training until the c2f window closes)."""
+
+    def test_validate_passes_checkpoint_progress(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from poseprobe_tpu.config import config as cfg_mod
+        from poseprobe_tpu.data.synthetic import make_synthetic_scene
+        from poseprobe_tpu.eval import evaluator
+        from poseprobe_tpu.models.object_sdf import ObjectConfig
+        from poseprobe_tpu.models.scene_nerf import SceneConfig
+        from poseprobe_tpu.train.trainer import JointTrainer
+
+        data = make_synthetic_scene(n_train=3, n_test=1, H=16, W=16, seed=0)
+        m = float(data.xyz_max[0])
+        cfg = cfg_mod.ExperimentConfig(
+            data=cfg_mod.DataConfig(near=data.near, far=data.far),
+            camera=cfg_mod.CameraConfig(incremental=False, barf_c2f=None),
+            pnp=cfg_mod.PnPConfig(use_pnp=False),
+            object_model=ObjectConfig(xyz_min=(-m,) * 3, xyz_max=(m,) * 3,
+                                      num_voxels=8**3, num_voxels_base=8**3,
+                                      N_iters=10, barf_c2f=None, world_bound_scale=1.25),
+            object_train=cfg_mod.ObjectTrainConfig(N_iters=10, N_rand=8,
+                                                   decay_step_module=(), tv_updates=()),
+            scene_model=SceneConfig(layers_feat=(8,) * 2, layers_rgb=(8, 3), skip=(),
+                                    L_3D=2, L_view=1, sample_intvs=4, sample_intvs_fine=4,
+                                    rand_rays=8, max_iter=100, barf_c2f=(0.4, 0.7),
+                                    fine_sampling=False),
+            scene_train=cfg_mod.SceneTrainConfig(max_iter=100, start_ratio_depth_cons=None),
+        )
+        t = JointTrainer(cfg, data, seed=0)
+        t.state.step = 50  # mid-training: progress must be 0.5
+
+        captured = {}
+        real = evaluator.render_full
+
+        def spy(*args, **kwargs):
+            captured["progress"] = kwargs.get("progress")
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(evaluator, "render_full", spy)
+        t.validate(n_views=1)
+        assert captured["progress"] == 0.5
