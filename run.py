@@ -45,6 +45,10 @@ def parse_args():
                    help="override object-branch N_iters")
     p.add_argument("--n_views", type=int, default=0,
                    help="synthetic scene: number of training views (3-6)")
+    p.add_argument("--fine_start", type=float, default=0.0,
+                   help="override ratio_start_fine_sampling_at_x AND "
+                        "start_ratio_depth_cons (the reference co-schedules "
+                        "them with the pose window)")
     p.add_argument("--pose_window", type=float, default=0.0,
                    help="override ratio_end_joint_nerf_pose_refinement")
     return p.parse_args()
@@ -98,6 +102,13 @@ def main():
             cfg, scene_train=dataclasses.replace(
                 cfg.scene_train,
                 ratio_end_joint_nerf_pose_refinement=args.pose_window))
+    if args.fine_start:
+        cfg = dataclasses.replace(
+            cfg,
+            scene_model=dataclasses.replace(
+                cfg.scene_model, ratio_start_fine_sampling_at_x=args.fine_start),
+            scene_train=dataclasses.replace(
+                cfg.scene_train, start_ratio_depth_cons=args.fine_start))
 
     import numpy as np
 
