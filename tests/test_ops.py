@@ -201,3 +201,42 @@ class TestPE:
         spec = np.asarray(x)[..., None] * freq  # [1, 3, L]
         ref = np.stack([np.sin(spec), np.cos(spec)], axis=-2).reshape(1, -1)
         np.testing.assert_allclose(np.asarray(enc), ref, atol=1e-5)
+
+
+class TestFinePassSortFreePaths:
+    """Round-2 TPU optimizations must stay exact: vectorized inverse-CDF
+    ranks == searchsorted semantics, and the rank merge == jnp.sort."""
+
+    def test_merge_sorted_depths_equals_sort(self):
+        rng = np.random.RandomState(0)
+        a = np.sort(rng.rand(2, 5, 16, 1), axis=2).astype(np.float32)
+        b = np.sort(rng.rand(2, 5, 8, 1), axis=2).astype(np.float32)
+        got = np.asarray(ray_sampling.merge_sorted_depths(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_array_equal(got, np.sort(np.concatenate([a, b], axis=2), axis=2))
+
+    def test_merge_sorted_depths_with_ties(self):
+        rng = np.random.RandomState(1)
+        a = np.sort(np.round(rng.rand(1, 3, 10, 1) * 4) / 4, axis=2).astype(np.float32)
+        b = np.sort(np.round(rng.rand(1, 3, 6, 1) * 4) / 4, axis=2).astype(np.float32)
+        got = np.asarray(ray_sampling.merge_sorted_depths(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_array_equal(got, np.sort(np.concatenate([a, b], axis=2), axis=2))
+
+    def test_pdf_resample_sorted_and_in_range(self):
+        rng = np.random.RandomState(2)
+        w = jnp.asarray(rng.rand(2, 4, 16).astype(np.float32))
+        d = ray_sampling.sample_depth_from_pdf(jax.random.PRNGKey(0), w, 16, 12, 0.5, 6.0)
+        dd = np.asarray(d)[..., 0]
+        assert (np.diff(dd, axis=-1) >= -1e-6).all(), "fine depths must be per-ray ascending"
+        assert dd.min() >= 0.5 and dd.max() <= 6.0
+
+    def test_pdf_resample_rank_matches_searchsorted(self):
+        """The broadcast compare+reduce must equal searchsorted(side='right')."""
+        rng = np.random.RandomState(3)
+        pdf = rng.rand(3, 8).astype(np.float32)
+        cdf = np.concatenate([np.zeros((3, 1), np.float32),
+                              np.cumsum(pdf / pdf.sum(-1, keepdims=True), -1)], -1)
+        unif = rng.rand(3, 5).astype(np.float32)
+        want = np.stack([np.searchsorted(c, u, side="right") for c, u in zip(cdf, unif)])
+        got = np.asarray((jnp.asarray(cdf)[..., :, None]
+                          <= jnp.asarray(unif)[..., None, :]).sum(axis=-2))
+        np.testing.assert_array_equal(got, want)
