@@ -1,10 +1,18 @@
 """Benchmark: joint dual-branch training throughput (rays/sec) on one chip.
 
-Runs the FULL joint train step at the reference's DTU workload scale
-(`BASELINE.md`): 96^3 voxel SDF grid + 12ch features, 1024 object rays,
+Phase-honest methodology: a real 60k-iteration DTU-scan1-class run crosses
+three step regimes with different costs, and a single-phase number overstates
+throughput (round-2 lesson). We time each regime at the reference's workload
+scale (`BASELINE.md`: 96^3 voxel SDF grid + 12ch features, 1024 object rays,
 1024 scene rays x (128 coarse + 128 fine) samples through the 8x256 MLP pair,
-correspondence loss on 256 matches, 3 training views — and reports sustained
-rays/sec over the jitted step.
+256-match correspondence + depth-consistency losses, 3 views):
+
+* early   (steps 0..N_iters=10k):        object branch + coarse scene + corres
+* coarse  (steps 10k..fine_start=18k):   coarse scene + corres only
+* mid     (steps 18k..60k):              fine sampling + depth consistency (70%!)
+
+and report the 60k-weighted rays/sec as the headline `value`, with the phase
+breakdown in the same JSON line.
 
 Baseline for `vs_baseline`: the reference PyTorch+CUDA pipeline publishes no
 numbers (`BASELINE.json` -> "published": {}); SPARF-class joint pose-NeRF
@@ -12,7 +20,7 @@ training runs ~2 it/s at 1024+1024 rays/iter on a V100 (60k iters ~= 8-9 h,
 consistent with the paper's training-time class), i.e. ~4096 primary rays/s.
 That figure is used as the denominator and printed for transparency.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations
 
@@ -24,7 +32,7 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC = 4096.0  # see module docstring
 
 
-def build_trainer(small: bool = False):
+def build_trainer(small: bool = False, matmul_dtype: str = "bfloat16"):
     import jax
 
     from poseprobe_tpu.config import config as cfg_mod
@@ -53,7 +61,8 @@ def build_trainer(small: bool = False):
             sample_intvs=32 if small else 128,
             sample_intvs_fine=32 if small else 128,
             max_iter=60000, fine_sampling=True,
-            ratio_start_fine_sampling_at_x=0.3),
+            ratio_start_fine_sampling_at_x=0.3,
+            matmul_dtype=matmul_dtype),
         scene_train=cfg_mod.SceneTrainConfig(max_iter=60000),
     )
     return JointTrainer(cfg, data)
@@ -86,7 +95,30 @@ def _tpu_reachable(timeout_s: int = 150, attempts: int = 2) -> bool:
     return False
 
 
-def main(small: bool = False, warmup: int = 3, iters: int = 20):
+def _time_phase(trainer, start_step: int, warmup: int, iters: int, key):
+    """Sustained seconds/step with the phase flags of `start_step`.
+
+    Each step folds a fresh PRNGKey so the axon relay cannot serve cached
+    executions (CLAUDE.md pitfall)."""
+    import jax
+
+    trainer.state.step = start_step
+    m = None
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        m = trainer.step_once(sub)
+    jax.block_until_ready(m["loss_total"])
+    trainer.state.step = start_step  # stay far from any phase boundary
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        m = trainer.step_once(sub)
+    jax.block_until_ready(m["loss_total"])
+    return (time.perf_counter() - t0) / iters, float(m["loss_total"]), key
+
+
+def main(small: bool = False, warmup: int = 3, iters: int = 20,
+         matmul_dtype: str = "bfloat16"):
     import os
 
     if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not _tpu_reachable():
@@ -98,33 +130,42 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20):
         small = True
     import jax
 
-    trainer = build_trainer(small=small)
+    trainer = build_trainer(small=small, matmul_dtype=matmul_dtype)
     key = jax.random.PRNGKey(0)
 
-    def run_steps(n):
-        nonlocal key
-        m = None
-        for _ in range(n):
-            key, sub = jax.random.split(key)
-            m = trainer.step_once(sub)
-        jax.block_until_ready(m["loss_total"])
-        return m
+    cfg = trainer.cfg
+    n_iters = cfg.object_train.N_iters            # 10k: object-branch cutoff
+    fine_start = trainer.fine_start               # 18k: fine + depth_cons on
+    max_iter = cfg.scene_train.max_iter           # 60k
+    obj_rays = cfg.object_train.N_rand
+    scene_rays = cfg.scene_model.rand_rays
 
-    run_steps(warmup)
-    t0 = time.perf_counter()
-    m = run_steps(iters)
-    dt = time.perf_counter() - t0
+    t_early, loss_early, key = _time_phase(trainer, 1, warmup, iters, key)
+    t_coarse, _, key = _time_phase(trainer, n_iters + 1, warmup, iters, key)
+    t_mid, loss_mid, key = _time_phase(trainer, fine_start + 1, warmup, iters, key)
 
-    steps_per_sec = iters / dt
-    rays_per_step = trainer.cfg.object_train.N_rand + trainer.cfg.scene_model.rand_rays
-    rays_per_sec = steps_per_sec * rays_per_step
+    # 60k-weighted totals (steps per regime x regime cost)
+    steps = np.array([n_iters, fine_start - n_iters, max_iter - fine_start], float)
+    times = np.array([t_early, t_coarse, t_mid])
+    rays = np.array([obj_rays + scene_rays, scene_rays, scene_rays], float)
+    total_time = float((steps * times).sum())
+    total_rays = float((steps * rays).sum())
+    weighted_rays_per_sec = total_rays / total_time
+
     result = {
-        "metric": "joint_train_rays_per_sec",
-        "value": round(rays_per_sec, 1),
+        "metric": "joint_train_rays_per_sec_60k_weighted",
+        "value": round(weighted_rays_per_sec, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
-        "steps_per_sec": round(steps_per_sec, 3),
-        "loss": float(m["loss_total"]),
+        "vs_baseline": round(weighted_rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        "early_ms": round(t_early * 1e3, 2),
+        "coarse_ms": round(t_coarse * 1e3, 2),
+        "mid_ms": round(t_mid * 1e3, 2),
+        "early_rays_per_sec": round((obj_rays + scene_rays) / t_early, 1),
+        "mid_rays_per_sec": round(scene_rays / t_mid, 1),
+        "steps_per_sec_weighted": round(max_iter / total_time, 3),
+        "est_60k_run_minutes": round(total_time / 60.0, 1),
+        "matmul_dtype": matmul_dtype,
+        "loss": loss_mid if np.isfinite(loss_mid) else loss_early,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
@@ -134,4 +175,7 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20):
 if __name__ == "__main__":
     import sys
 
-    main(small="--small" in sys.argv)
+    dtype = "bfloat16"
+    if "--f32" in sys.argv:
+        dtype = "float32"
+    main(small="--small" in sys.argv, matmul_dtype=dtype)

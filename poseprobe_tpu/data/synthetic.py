@@ -87,19 +87,26 @@ def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0):
 
 def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int = 64,
                          cube_half: float = 0.35, seed: int = 0,
-                         n_matches: int = 128) -> base.SceneData:
+                         n_matches: int = 128,
+                         arc_half: float | None = None) -> base.SceneData:
     rng = np.random.default_rng(seed)
     n_views = n_train + n_test
     f = 0.9 * W
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
     Ks = np.tile(K[None], (n_views, 1, 1))
 
-    # cameras on an arc looking at the origin. The train views span the FULL
-    # arc and the test views sit between them (interpolation), mirroring the
+    # cameras on an arc looking at the origin. The train views span the arc
+    # and the test views sit between them (interpolation), mirroring the
     # reference's DTU protocol where test ids interleave the selected train
     # ids (`load_dtu.py:44-46`) — a test view outside the training arc would
     # measure extrapolation, which no few-shot method is scored on.
-    train_angles = np.linspace(-0.5, 0.5, n_train)
+    # The arc width scales with the view count so the PER-PAIR baseline stays
+    # fixed (~14 deg), like the reference's ADJACENT-view selection
+    # (scan1 ids [22,25,28] are neighbouring DTU cameras, not a full sweep;
+    # `configs/dtu_e2e/scan1.py:19`): 3 views -> +-0.25 rad, 6 -> +-0.5 rad.
+    if arc_half is None:
+        arc_half = min(0.5, 0.125 * (n_train - 1))
+    train_angles = np.linspace(-arc_half, arc_half, n_train)
     if n_test > 0 and n_train > 1:
         mids = 0.5 * (train_angles[:-1] + train_angles[1:])
         test_angles = np.array([mids[i % len(mids)] for i in range(n_test)])

@@ -48,12 +48,16 @@ class SceneConfig:
     setbg_opaque: bool = False
     max_iter: int = 60000
     ratio_start_fine_sampling_at_x: float | None = 0.3
-    # MXU-native mixed precision for the MLP matmuls: "bfloat16" casts the
-    # operands and accumulates in float32 (preferred_element_type); everything
-    # outside the matmuls (PE, compositing, losses) stays float32. The
-    # fine-sampled scene MLPs are ~77% of the joint step time (ablation,
-    # PERFORMANCE.md). Default float32 keeps unit-test parity bit-exact;
-    # the production presets and bench enable bfloat16.
+    # MXU-native mixed precision for the MLP: "bfloat16" runs the whole trunk
+    # with bf16 weights AND bf16 activations (single-pass MXU matmuls, half
+    # the HBM activation traffic) while the optimizer keeps f32 master
+    # weights — the cast happens once per step on the (tiny) param tree, not
+    # per matmul. Density/rgb heads and everything outside the MLP (PE,
+    # compositing, losses) stay float32. The fine-sampled scene MLPs are ~77%
+    # of the joint step time (PERFORMANCE.md ablation); f32 matmuls on this
+    # JAX/TPU build execute as 3-pass bf16 (66 TFLOP/s measured), so native
+    # bf16 raises the matmul roofline ~3x. Default float32 keeps unit-test
+    # parity bit-exact; set "bfloat16" in production presets/bench.
     matmul_dtype: str = "float32"
 
     @property
@@ -101,31 +105,45 @@ def init_scene_params(key, cfg: SceneConfig) -> dict:
     return params
 
 
-def _mm(x: jnp.ndarray, w: jnp.ndarray, dtype: str) -> jnp.ndarray:
-    """[..., K] @ [K, N] with optional bf16 operands and f32 accumulation."""
-    if dtype == "bfloat16":
-        return jax.lax.dot_general(
-            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    return x @ w
+def cast_mlp_params(params: dict, dtype: str):
+    """Cast the scene param tree to the compute dtype, once per step.
+
+    With ``matmul_dtype='bfloat16'`` the trainer calls this inside the loss so
+    the optimizer keeps f32 master weights and gradients come back f32 through
+    the convert's transpose — native-bf16 storage without per-matmul casts
+    (the round-2 per-operand-cast experiment measured *slower*)."""
+    if dtype != "bfloat16":
+        return params
+    return jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+
+def _mm(x: jnp.ndarray, w: jnp.ndarray, b=None):
+    """[..., K] @ [K, N] (+ bias) in the operands' dtype.
+
+    bf16 x bf16 -> bf16 keeps activations bf16 end-to-end: one MXU pass per
+    matmul and half the HBM activation traffic vs f32 (which this JAX/TPU
+    build executes as 3-pass bf16 anyway)."""
+    out = jax.lax.dot_general(x, w, (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=x.dtype)
+    return out if b is None else out + b
 
 
 def nerf_forward(mlp: dict, cfg: SceneConfig, points: jnp.ndarray, ray: jnp.ndarray, progress) -> dict:
     """MLP prediction at [B, R, S, 3] points with [B, R, 3] ray directions.
 
-    Returns dict(rgb_samples [B,R,S,3], density_samples [B,R,S]).
+    Returns dict(rgb_samples [B,R,S,3], density_samples [B,R,S]) in float32.
     """
-    mmd = cfg.matmul_dtype
+    cdt = jnp.bfloat16 if cfg.matmul_dtype == "bfloat16" else jnp.float32
+    mlp = cast_mlp_params(mlp, cfg.matmul_dtype)  # no-op if already cast
     enc = pe.posenc_scene(points, cfg.L_3D, progress, cfg.barf_c2f,
-                          include_pi=cfg.include_pi, add_raw=cfg.add_raw_3d)
+                          include_pi=cfg.include_pi, add_raw=cfg.add_raw_3d).astype(cdt)
     feat = enc
     for li, layer in enumerate(mlp["feat"]):
         if li in cfg.skip:
             feat = jnp.concatenate([feat, enc], axis=-1)
-        feat = _mm(feat, layer["w"], mmd) + layer["b"]
+        feat = _mm(feat, layer["w"], layer["b"])
         if li == len(mlp["feat"]) - 1:
-            raw_density = feat[..., 0]
+            raw_density = feat[..., 0].astype(jnp.float32)
             feat = feat[..., 1:]
         feat = jax.nn.relu(feat)
     density = jax.nn.softplus(raw_density) if cfg.density_activ == "softplus" else jax.nn.relu(raw_density)
@@ -136,22 +154,22 @@ def nerf_forward(mlp: dict, cfg: SceneConfig, points: jnp.ndarray, ray: jnp.ndar
         # S x the PE transcendentals and S x the matmul FLOPs for that slice
         ray_unit = ray / (jnp.linalg.norm(ray, axis=-1, keepdims=True) + 1e-12)
         ray_enc = pe.posenc_scene(ray_unit, cfg.L_view, progress, cfg.barf_c2f,
-                                  include_pi=cfg.include_pi, add_raw=cfg.add_raw_rays)
+                                  include_pi=cfg.include_pi, add_raw=cfg.add_raw_rays).astype(cdt)
         first = mlp["rgb"][0]
         feat_dim = feat.shape[-1]
-        h = _mm(feat, first["w"][:feat_dim], mmd) + first["b"]
-        h_view = _mm(ray_enc, first["w"][feat_dim:], mmd)
+        h = _mm(feat, first["w"][:feat_dim], first["b"])
+        h_view = _mm(ray_enc, first["w"][feat_dim:])
         h = h + h_view[..., None, :]
         for li, layer in enumerate(mlp["rgb"][1:]):
-            h = _mm(jax.nn.relu(h), layer["w"], mmd) + layer["b"]
-        rgb = jax.nn.sigmoid(h)
+            h = _mm(jax.nn.relu(h), layer["w"], layer["b"])
+        rgb = jax.nn.sigmoid(h.astype(jnp.float32))
     else:
         h = feat
         for li, layer in enumerate(mlp["rgb"]):
             if li > 0:
                 h = jax.nn.relu(h)
-            h = _mm(h, layer["w"], mmd) + layer["b"]
-        rgb = jax.nn.sigmoid(h)
+            h = _mm(h, layer["w"], layer["b"])
+        rgb = jax.nn.sigmoid(h.astype(jnp.float32))
     return {"rgb_samples": rgb, "density_samples": density}
 
 
@@ -192,10 +210,17 @@ def render_rays(
         depth_fine = ray_sampling.sample_depth_from_pdf(
             rng_f if mode_train else None, w, cfg.sample_intvs, cfg.sample_intvs_fine,
             depth_min, depth_max)
-        # both sets are per-ray ascending (stratified bins; sorted-grid inverse
-        # CDF), so an exact rank merge replaces the 2S bitonic sort
-        depth_all = ray_sampling.merge_sorted_depths(
-            depth_samples, jax.lax.stop_gradient(depth_fine))
+        if cfg.depth_param == "metric":
+            # both sets are per-ray ascending (stratified bins; sorted-grid
+            # inverse CDF), so an exact rank merge replaces the 2S bitonic sort
+            depth_all = ray_sampling.merge_sorted_depths(
+                depth_samples, jax.lax.stop_gradient(depth_fine))
+        else:
+            # inverse parameterization yields descending 1/d coarse depths —
+            # the rank merge's ascending precondition fails; fall back to the
+            # reference's plain sort (`renderer.py:616`)
+            depth_all = jnp.sort(jnp.concatenate(
+                [depth_samples, jax.lax.stop_gradient(depth_fine)], axis=-2), axis=-2)
         points_f = rays_mod.get_3d_points_from_depth(center, ray, depth_all, multi_samples=True)
         pred_f = nerf_forward(params["nerf_fine"], cfg, points_f, ray, progress)
         out_f = compositing.nerf_composite(pred_f["rgb_samples"], pred_f["density_samples"],

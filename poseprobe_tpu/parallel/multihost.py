@@ -18,18 +18,33 @@ import os
 
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
-                     process_id: int | None = None) -> None:
+                     process_id: int | None = None) -> bool:
+    """Initialize the multi-process runtime; returns True if initialized.
+
+    Argument resolution order: explicit args > JAX_* env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) > TPU-pod
+    auto-discovery (args all None). Single-process (num_processes <= 1) is a
+    no-op so the same entrypoint runs on a laptop and a pod.
+    """
     import jax
 
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS") or None
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if num_processes is None or num_processes <= 1:
-        return  # single-process run; nothing to initialize
+        return False  # single-process run; nothing to initialize
+    if num_processes > 1 and process_id is None:
+        raise ValueError("multi-process init needs process_id "
+                         "(arg or $JAX_PROCESS_ID)")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+    return True
 
 
 def make_global_mesh():

@@ -231,18 +231,37 @@ def superglue_forward(weights: dict, kpts0, scores0, desc0, kpts1, scores1, desc
 _CACHE: dict = {}
 
 
+def _read_checkpoint(path: str) -> dict:
+    """Read a weights file: converted ``.npz`` (torch-free, preferred — see
+    `pose_init.convert`) or a raw torch ``.pth`` state_dict."""
+    if path.endswith(".npz"):
+        from .convert import load_npz
+
+        return load_npz(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return {k: np.asarray(v.detach() if hasattr(v, "detach") else v) for k, v in sd.items()}
+
+
+def _find(root: str, stem: str) -> str | None:
+    for ext in (".npz", ".pth"):
+        p = os.path.join(root, stem + ext)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def _load_weights():
     root = os.environ[SUPERGLUE_WEIGHTS_ENV]
     if "sp" not in _CACHE:
-        import torch
-        sp_path = os.path.join(root, "superpoint_v1.pth") if os.path.isdir(root) else root
-        sd = torch.load(sp_path, map_location="cpu")
-        _CACHE["sp"] = {k: np.asarray(v) for k, v in sd.items()}
-        for name in ("indoor", "outdoor"):
-            p = os.path.join(root, f"superglue_{name}.pth")
-            if os.path.exists(p):
-                sd = torch.load(p, map_location="cpu")
-                _CACHE[f"sg_{name}"] = {k: np.asarray(v) for k, v in sd.items()}
+        sp_path = (_find(root, "superpoint_v1") or "") if os.path.isdir(root) else root
+        _CACHE["sp"] = _read_checkpoint(sp_path)
+        if os.path.isdir(root):
+            for name in ("indoor", "outdoor"):
+                p = _find(root, f"superglue_{name}")
+                if p:
+                    _CACHE[f"sg_{name}"] = _read_checkpoint(p)
     return _CACHE
 
 

@@ -240,6 +240,9 @@ class JointTrainer:
             # ---------------- scene branch (active views only) ----------------
             active_pose = current_pose[:n_active]
             active_K = self.Ks[:n_active]
+            # native-bf16 compute params: ONE cast of the (tiny) param tree per
+            # step; gradients come back f32 to the optimizer's master weights
+            scene_pc = scene_nerf.cast_mlp_params(scene_p, sm.matmul_dtype)
             # center pre-crop during the first precrop_iters steps
             # (`sampling_strategies.py:166-171`, `default_config.py:134-135`)
             sbatch = batching.sample_scene_pixels(
@@ -250,35 +253,74 @@ class JointTrainer:
                 fg_pixels=None if self.fg_pixels is None else self.fg_pixels[:n_active],
                 fg_counts=None if self.fg_counts is None else self.fg_counts[:n_active],
                 n_fg_patches=self._n_fg_patches)
-            center, ray = rays_mod.get_center_and_ray_at_pixels(
+            center_m, ray_m = rays_mod.get_center_and_ray_at_pixels(
                 active_pose, sbatch.pixels, active_K)
-            center = mesh_mod.shard_rays(center, self.mesh, axis=1)
-            ray = mesh_mod.shard_rays(ray, self.mesh, axis=1)
-            rets = scene_nerf.render_rays(
-                scene_p, sm, center, ray, depth_range, progress=scene_progress,
-                rng=keys[4], compute_fine=fine_on)
-            loss_dict = dict(scene_losses.photometric_and_regu_loss(rets, sbatch.target, sc))
+            R_v = center_m.shape[1]
+            R_main = n_active * R_v
 
             lw = sc.loss_weight_dict()
-            if lw.get("corres") is not None:
+            use_corres = lw.get("corres") is not None
+            use_dc = depth_cons_on and lw.get("depth_cons") is not None
+
+            # batch ALL grad-carrying ray sets of this step (main photometric +
+            # corres pair) into ONE render_rays call: one coarse + one fine MLP
+            # launch over the concatenated rays instead of per-loss renders
+            # (the reference launches a separate `Graph.render` per loss,
+            # `corres_loss.py:178`)
+            center_all = center_m.reshape(1, R_main, 3)
+            ray_all = ray_m.reshape(1, R_main, 3)
+            if use_corres:
                 r = jax.random.randint(keys[5], (), 0, n_active)
                 pack = self.scene_matches[r]
-                loss_dict["corres"] = scene_losses.correspondence_loss(
-                    scene_p, sm, current_pose, self.Ks,
-                    pixels_self=pack[:, 2:4], pixels_other=pack[:, 0:2],
-                    conf=pack[:, 4], id_self=r, id_other=self.pair_j[r],
-                    depth_range=depth_range, progress=scene_progress,
-                    iteration=step_f, compute_fine=fine_on, opt=sc, rng=keys[6])
-            if depth_cons_on and lw.get("depth_cons") is not None:
+                px_self, px_other, conf = pack[:, 2:4], pack[:, 0:2], pack[:, 4]
+                id_self, id_other = r, self.pair_j[r]
+                center_c, ray_c = scene_losses.correspondence_pair_rays(
+                    current_pose, self.Ks, px_self, px_other, id_self, id_other)
+                M = center_c.shape[1]
+                center_all = jnp.concatenate([center_all, center_c.reshape(1, 2 * M, 3)], axis=1)
+                ray_all = jnp.concatenate([ray_all, ray_c.reshape(1, 2 * M, 3)], axis=1)
+            center_all = mesh_mod.shard_rays(center_all, self.mesh, axis=1)
+            ray_all = mesh_mod.shard_rays(ray_all, self.mesh, axis=1)
+            rets_all = scene_nerf.render_rays(
+                scene_pc, sm, center_all, ray_all, depth_range, progress=scene_progress,
+                rng=keys[4], compute_fine=fine_on)
+
+            # split main-ray outputs back to [n_active, R_v, ...] for the losses
+            rets = {k: v[:, :R_main].reshape((n_active, R_v) + v.shape[2:])
+                    for k, v in rets_all.items() if k not in ("origins", "viewdirs")}
+            loss_dict = dict(scene_losses.photometric_and_regu_loss(rets, sbatch.target, sc))
+
+            if use_corres:
+                depth_pair = rets_all["depth"][0, R_main:, 0].reshape(2, M)
+                depth_fine_pair = (rets_all["depth_fine"][0, R_main:, 0].reshape(2, M)
+                                   if "depth_fine" in rets_all else None)
+                loss_dict["corres"] = scene_losses.correspondence_loss_from_depths(
+                    depth_pair, depth_fine_pair, current_pose, self.Ks,
+                    px_self, px_other, conf, id_self, id_other, step_f, sc)
+            if use_dc and use_corres:
+                # reference reuse path (`compute_loss_from_existing_pixels`,
+                # `depth_cons_loss.py:65-120`): the corres self-view pixels and
+                # their just-rendered depth ARE the pseudo-GT — no ref render
+                d_ref = (depth_fine_pair[0] if depth_fine_pair is not None
+                         else depth_pair[0])
+                loss_dict["depth_cons"] = scene_losses.depth_consistency_from_ref_depth(
+                    scene_pc, sm, active_pose, active_K, px_self, d_ref, id_self,
+                    interp_w=jax.random.uniform(keys[7], ()),
+                    H=self.H, W=self.W, depth_range=depth_range,
+                    progress=scene_progress, iteration=step_f, compute_fine=fine_on,
+                    opt=sc, rng=keys[9], ref_valid=conf > 0)
+            elif use_dc:
+                # no corres term: fresh-pixels path (`compute_loss`,
+                # `depth_cons_loss.py:128-340`)
                 kp, kx, ky, kw, kr = jax.random.split(keys[7], 5)
-                id_self = jax.random.randint(kp, (), 0, n_active)
+                id_dc = jax.random.randint(kp, (), 0, n_active)
                 n_ref = max(256, sm.rand_rays)
                 pixels_ref = jnp.stack([
                     jax.random.uniform(kx, (n_ref,)) * (self.W - 2),
                     jax.random.uniform(ky, (n_ref,)) * (self.H - 2),
                 ], -1)
                 loss_dict["depth_cons"] = scene_losses.depth_consistency_loss(
-                    scene_p, sm, active_pose, active_K, pixels_ref, id_self,
+                    scene_pc, sm, active_pose, active_K, pixels_ref, id_dc,
                     interp_w=jax.random.uniform(kw, ()),
                     H=self.H, W=self.W, depth_range=depth_range,
                     progress=scene_progress, iteration=step_f, compute_fine=fine_on,

@@ -51,6 +51,15 @@ def parse_args():
                         "them with the pose window)")
     p.add_argument("--pose_window", type=float, default=0.0,
                    help="override ratio_end_joint_nerf_pose_refinement")
+    p.add_argument("--matmul_dtype", type=str, default="",
+                   choices=["", "float32", "bfloat16"],
+                   help="override SceneConfig.matmul_dtype (bf16 = native "
+                        "MXU mixed precision, f32 master weights)")
+    p.add_argument("--expname", type=str, default="",
+                   help="override cfg.expname (output directory name)")
+    p.add_argument("--arc_half", type=float, default=0.0,
+                   help="synthetic scene: half-width of the camera arc in "
+                        "radians (default: auto, ~14deg per view pair)")
     return p.parse_args()
 
 
@@ -109,6 +118,12 @@ def main():
                 cfg.scene_model, ratio_start_fine_sampling_at_x=args.fine_start),
             scene_train=dataclasses.replace(
                 cfg.scene_train, start_ratio_depth_cons=args.fine_start))
+    if args.matmul_dtype:
+        cfg = dataclasses.replace(
+            cfg, scene_model=dataclasses.replace(
+                cfg.scene_model, matmul_dtype=args.matmul_dtype))
+    if args.expname:
+        cfg = dataclasses.replace(cfg, expname=args.expname)
 
     import numpy as np
 
@@ -127,6 +142,8 @@ def main():
     loader_kwargs = {}
     if args.n_views and cfg.data.dataset_type == "synthetic":
         loader_kwargs["n_train"] = args.n_views
+    if args.arc_half and cfg.data.dataset_type == "synthetic":
+        loader_kwargs["arc_half"] = args.arc_half
     data = load_data(cfg.data, matcher_backend=args.matcher, **loader_kwargs)
     print(f"[run] {data.n_train} train views, {len(data.i_test)} test views, "
           f"{data.H}x{data.W}")

@@ -146,7 +146,7 @@ class TestSuperPointParity:
 
 
 class TestSuperGlueParity:
-    def test_matches_and_scores(self):
+    def test_matches_and_scores(self, tmp_path):
         _, ref_sg = _import_ref_models()
         model = _random_init(ref_sg.SuperGlue,
                              {"weights": "indoor", "sinkhorn_iterations": 20,
@@ -183,7 +183,17 @@ class TestSuperGlueParity:
 
         from poseprobe_tpu.pose_init import superglue as jx
 
-        sd = _to_numpy_sd(model)
+        # round-trip the torch state_dict through the converter file format
+        # (`pose_init/convert.py`): the JAX forward consumes the .npz bundle
+        from poseprobe_tpu.pose_init import convert
+
+        npz_path = str(tmp_path / "superglue_random.npz")
+        convert.save_npz(npz_path, model.state_dict())
+        sd = convert.load_npz(npz_path)
+        ref_sd = _to_numpy_sd(model)
+        assert set(sd) == set(ref_sd)
+        for k in sd:
+            np.testing.assert_array_equal(sd[k], ref_sd[k])
         m_j, ms_j = jx.superglue_forward(
             sd, jnp.asarray(k0), jnp.asarray(s0), jnp.asarray(d0.T),
             jnp.asarray(k1), jnp.asarray(s1), jnp.asarray(d1.T),
@@ -293,3 +303,27 @@ class TestVGGFeaturesPath:
             h = torch.relu(convs[2](h))
             want = h.permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(feats[..., :64], want, atol=2e-4)
+
+
+class TestConverterCLI:
+    def test_pth_to_npz_cli_and_loader(self, tmp_path, monkeypatch):
+        """`python -m poseprobe_tpu.pose_init.convert --pth ...` round-trip,
+        plus `_load_weights` preferring the converted .npz (torch-free path)."""
+        from poseprobe_tpu.pose_init import convert, superglue
+
+        sd = {"conv1a.weight": torch.randn(64, 1, 3, 3), "conv1a.bias": torch.randn(64)}
+        pth = tmp_path / "superpoint_v1.pth"
+        torch.save(sd, str(pth))
+        rc = convert.main(["--pth-dir", str(tmp_path), "--out-dir", str(tmp_path)])
+        assert rc == 0
+        npz = tmp_path / "superpoint_v1.npz"
+        assert npz.exists()
+        loaded = convert.load_npz(str(npz))
+        np.testing.assert_array_equal(loaded["conv1a.weight"], sd["conv1a.weight"].numpy())
+
+        monkeypatch.setenv(superglue.SUPERGLUE_WEIGHTS_ENV, str(tmp_path))
+        superglue._CACHE.clear()
+        cache = superglue._load_weights()
+        assert superglue._find(str(tmp_path), "superpoint_v1").endswith(".npz")
+        np.testing.assert_array_equal(cache["sp"]["conv1a.bias"], sd["conv1a.bias"].numpy())
+        superglue._CACHE.clear()

@@ -102,3 +102,51 @@ def test_sharded_multi_step_stays_finite():
         key, rng = jax.random.split(key)
         m = t8.step_once(rng)
         assert np.isfinite(float(m["loss_total"]))
+
+
+class TestMultihostInit:
+    """Argument/env resolution of `parallel.multihost.init_distributed`
+    (`jax.distributed.initialize` itself is mocked — no multi-host here)."""
+
+    def _patch(self, monkeypatch):
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        return calls
+
+    def test_single_process_is_noop(self, monkeypatch):
+        from poseprobe_tpu.parallel import multihost
+        calls = self._patch(monkeypatch)
+        monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        assert multihost.init_distributed() is False
+        assert multihost.init_distributed(num_processes=1) is False
+        assert calls == []
+
+    def test_env_resolution(self, monkeypatch):
+        from poseprobe_tpu.parallel import multihost
+        calls = self._patch(monkeypatch)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        assert multihost.init_distributed() is True
+        assert calls == [dict(coordinator_address="10.0.0.1:1234",
+                              num_processes=4, process_id=2)]
+
+    def test_args_override_env(self, monkeypatch):
+        from poseprobe_tpu.parallel import multihost
+        calls = self._patch(monkeypatch)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        multihost.init_distributed(coordinator_address="10.9.9.9:999",
+                                   num_processes=2, process_id=0)
+        assert calls == [dict(coordinator_address="10.9.9.9:999",
+                              num_processes=2, process_id=0)]
+
+    def test_missing_process_id_raises(self, monkeypatch):
+        from poseprobe_tpu.parallel import multihost
+        self._patch(monkeypatch)
+        monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        with pytest.raises(ValueError):
+            multihost.init_distributed(num_processes=2)

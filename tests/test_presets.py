@@ -40,7 +40,54 @@ def test_preset_loads_and_is_consistent(path):
 def test_expected_presets_present():
     names = {os.path.basename(p) for p in PRESETS}
     assert {"dtu_scan1.py", "dtu_generic.py", "toy_desk.py",
-            "replica_room0.py", "shapenet_car.py"} <= names
+            "replica_room0.py", "shapenet_car.py", "dtu_scan.py",
+            "toy_candy.py", "replica_room1.py"} <= names
+
+
+def test_dtu_scan_family():
+    """Scan-family factory mirrors the per-scan reference configs
+    (`configs/dtu_e2e/scan{2,30,114}.py` deltas vs scan1)."""
+    from poseprobe_tpu.config.presets import dtu_scan
+
+    for sid in dtu_scan.SCAN_TABLE:
+        c = dtu_scan.get_config(sid)
+        assert c.expname == f"scan{sid}" and c.seed == sid
+
+    c2 = dtu_scan.get_config(2)
+    assert c2.data.near == 1.0 and c2.data.far == 5.0        # scan2.py:35-36
+    assert c2.data.xyz_min == (-0.55, -0.3, -0.5)            # scan2.py:37
+    assert not c2.pnp.use_pnp and c2.pnp.ransac              # scan2.py:50
+    assert c2.object_train.N_iters == 15000                  # scan2.py:63
+    assert c2.object_train.weight_surface_projection == 0.001
+
+    c30 = dtu_scan.get_config(30)
+    assert not c30.pnp.use_pnp and not c30.pnp.ransac        # scan30.py:50-51
+
+    c114 = dtu_scan.get_config(114)
+    assert c114.data.near == 0.3 and c114.data.far == 5.0    # scan114.py:35-36
+
+    c1 = dtu_scan.get_config(1)
+    assert c1.pnp.use_pnp and c1.object_train.N_iters == 10000  # scan1.py
+
+    with pytest.raises(KeyError):
+        dtu_scan.get_config(999)
+
+
+def test_toy_candy_and_replica_room1():
+    from poseprobe_tpu.config.presets import replica_room0, replica_room1, toy_candy
+
+    c = toy_candy.get_config()
+    assert c.expname == "our_desk_2_candy"                   # candy.py:14
+    assert c.data.selected_id == (62, 70, 77)                # candy.py:18
+    assert c.data.near == 0.05 and c.data.far == 2.8         # candy.py:35-36
+    assert not c.pnp.use_pnp and c.camera.incremental_step == 1
+    assert c.object_train.N_iters == 15000                   # candy.py:63
+
+    r1 = replica_room1.get_config()
+    r0 = replica_room0.get_config()
+    assert r1.data.selected_id == (300, 350, 400)            # room1.py:18
+    assert r1.expname == "room1"
+    assert r1.camera.incremental_step == r0.camera.incremental_step == 2000
 
 
 def test_reference_knob_values():
