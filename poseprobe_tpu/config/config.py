@@ -59,6 +59,12 @@ class PnPConfig:
     use_pnp: bool = True
     use_identical: bool = False
     ransac: bool = True
+    # 3D-anchor source for activation-time PnP: "object" = probe-SDF surface
+    # query (reference behavior, `recon_scene.py:276-310`); "scene" = depth
+    # rendered by the scene NeRF at the previous view's match pixels — same
+    # gauge as the already-calibrated poses, avoiding the probe's scale
+    # ambiguity (TPU rebuild extension; see pose_init/pnp.py docstring).
+    anchor: str = "object"
 
 
 @dataclasses.dataclass(frozen=True)

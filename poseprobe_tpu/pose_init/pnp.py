@@ -53,7 +53,12 @@ def pnp_from_matches(
         return prev_pose_w2c.copy()
     world_pts = pts[valid].astype(np.float64)
     img_pts = coord_cur[valid].astype(np.float64)
+    return solve_pnp(world_pts, img_pts, K, prev_pose_w2c)
 
+
+def solve_pnp(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
+              prev_pose_w2c: np.ndarray) -> np.ndarray:
+    """PnP-RANSAC + LM refine with a previous-pose sanity fallback."""
     if _HAS_CV2:
         K64 = K.astype(np.float64)
         dist = np.zeros((4, 1))
@@ -80,6 +85,59 @@ def pnp_from_matches(
             return prev_pose_w2c.copy()
         return pose
     return _pnp_ransac_numpy(world_pts, img_pts, K, prev_pose_w2c)
+
+
+def pnp_from_scene_depth(
+    scene_params: dict,
+    scene_cfg,
+    match_pack: np.ndarray,     # [M, 5]: (x_prev, y_prev, x_cur, y_cur, conf)
+    K: np.ndarray,              # [3, 3]
+    prev_pose_w2c: np.ndarray,  # [3, 4]
+    depth_range,
+    progress: float,
+    use_fine: bool = False,
+) -> np.ndarray:
+    """PnP anchored on the SCENE NeRF's rendered depth (TPU rebuild extension).
+
+    The reference anchors activation-time PnP on the pose-probe SDF
+    (`recon_scene.py:276-310`), whose deformation field leaves a global scale
+    ambiguity — the recovered translations land in the probe's gauge, not the
+    scene's, and the round-2 6-view runs show t-error tripling at each view
+    activation (logs/run_journal). Anchoring instead on depth rendered by the
+    scene branch at the matched pixels of the ALREADY-CALIBRATED previous
+    view puts the 3D anchors in the same gauge as the existing poses, so the
+    new pose lands scale-consistent. Only usable once the scene NeRF has
+    trained a while — the trainer falls back to the object anchors before
+    that.
+    """
+    import jax.numpy as jnp
+
+    from ..models import scene_nerf
+
+    coord_prev = match_pack[:, 0:2]
+    coord_cur = match_pack[:, 2:4]
+    conf = match_pack[:, 4]
+    valid = conf > 0
+    if valid.sum() < 6:
+        return prev_pose_w2c.copy()
+
+    pose_b = jnp.asarray(prev_pose_w2c, jnp.float32)[None]
+    pixels_b = jnp.asarray(coord_prev, jnp.float32)[None]
+    intr_b = jnp.asarray(K, jnp.float32)[None]
+    center, ray = rays_mod.get_center_and_ray_at_pixels(pose_b, pixels_b, intr_b)
+    rets = scene_nerf.render_rays(scene_params, scene_cfg, center, ray,
+                                  depth_range, progress=progress, rng=None,
+                                  compute_fine=use_fine, mode_train=False)
+    depth = rets["depth_fine" if (use_fine and "depth_fine" in rets) else "depth"][0, :, 0]
+    # backproject through the previous pose -> world anchors in the scene gauge
+    from ..core import geometry
+
+    c2w_prev = pose_ops.invert_4x4(pose_ops.pad(pose_b[0]))
+    pts3d = np.asarray(geometry.batch_backproject_to_3d(
+        pixels_b[0], depth, intr_b[0], c2w_prev))
+    world_pts = pts3d[valid].astype(np.float64)
+    img_pts = coord_cur[valid].astype(np.float64)
+    return solve_pnp(world_pts, img_pts, K, prev_pose_w2c)
 
 
 def _median_reproj_err(pose_w2c, world_pts, img_pts, K) -> float:

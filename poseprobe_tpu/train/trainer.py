@@ -444,6 +444,16 @@ class JointTrainer:
         cur = np.asarray(self.current_pose())
         if cfg.pnp.use_identical:
             new_pose = cur[new_idx - 1]
+        elif cfg.pnp.use_pnp and cfg.pnp.anchor == "scene":
+            # scene-gauge anchors: depth rendered by the scene branch at the
+            # previous view's match pixels (avoids the probe-scale ambiguity
+            # that the round-2 runs showed injecting t-error per activation)
+            new_pose = pnp_mod.pnp_from_scene_depth(
+                self.state.scene_params, cfg.scene_model,
+                np.asarray(self.scene_matches[new_idx]), np.asarray(self.Ks[new_idx]),
+                cur[new_idx - 1], depth_range=(self.data.near, self.data.far),
+                progress=min(step / cfg.scene_model.max_iter, 1.0),
+                use_fine=bool(cfg.scene_model.fine_sampling and step >= self.fine_start))
         elif cfg.pnp.use_pnp:
             new_pose = pnp_mod.pnp_from_matches(
                 self.state.obj_params, cfg.object_model,

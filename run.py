@@ -60,6 +60,9 @@ def parse_args():
     p.add_argument("--arc_half", type=float, default=0.0,
                    help="synthetic scene: half-width of the camera arc in "
                         "radians (default: auto, ~14deg per view pair)")
+    p.add_argument("--pnp_anchor", type=str, default="",
+                   choices=["", "object", "scene"],
+                   help="activation-time PnP 3D-anchor source (see PnPConfig)")
     return p.parse_args()
 
 
@@ -124,6 +127,9 @@ def main():
                 cfg.scene_model, matmul_dtype=args.matmul_dtype))
     if args.expname:
         cfg = dataclasses.replace(cfg, expname=args.expname)
+    if args.pnp_anchor:
+        cfg = dataclasses.replace(
+            cfg, pnp=dataclasses.replace(cfg.pnp, anchor=args.pnp_anchor))
 
     import numpy as np
 

@@ -203,3 +203,42 @@ class TestSixViews:
         assert tr.state.n_active == 6
         for h in hist:
             assert np.isfinite(h["loss_total"])
+
+
+class TestScenePnPAnchor:
+    def test_scene_depth_pnp_recovers_gt_pose(self, scene_data, monkeypatch):
+        """With exact scene depth (analytic raycast standing in for the NeRF
+        render), `pnp_from_scene_depth` recovers the new view's GT pose in the
+        previous views' gauge — the property the object-SDF anchors lack
+        (probe-scale ambiguity)."""
+        import jax.numpy as jnp
+
+        from poseprobe_tpu.data import synthetic as synth
+        from poseprobe_tpu.models import scene_nerf
+        from poseprobe_tpu.pose_init import pnp as pnp_mod
+
+        def fake_render(params, cfg, center, ray, depth_range, progress,
+                        rng, compute_fine, mode_train=True):
+            ro = np.asarray(center[0], np.float64)
+            rd = np.asarray(ray[0], np.float64)
+            _, depth, _ = synth._raycast_cube_scene(ro, rd, half=0.35)
+            return {"depth": jnp.asarray(depth, jnp.float32)[None, :, None]}
+
+        monkeypatch.setattr(scene_nerf, "render_rays", fake_render)
+
+        gt = scene_data.poses_gt_w2c[scene_data.i_train]
+        new_idx = 1
+        pose = pnp_mod.pnp_from_scene_depth(
+            scene_params={}, scene_cfg=None,
+            match_pack=np.asarray(scene_data.scene_matches[new_idx]),
+            K=np.asarray(scene_data.Ks[scene_data.i_train[new_idx]]),
+            prev_pose_w2c=np.asarray(gt[new_idx - 1]),
+            depth_range=(scene_data.near, scene_data.far), progress=1.0)
+
+        from poseprobe_tpu.core import lie
+
+        R_err = np.degrees(np.asarray(lie.rotation_distance(
+            jnp.asarray(pose[None, :, :3]), jnp.asarray(gt[new_idx][None, :, :3]))))
+        t_err = np.linalg.norm(pose[:, 3] - gt[new_idx][:, 3])
+        assert float(R_err[0]) < 1.0, R_err
+        assert t_err < 0.05, t_err
