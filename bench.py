@@ -121,7 +121,9 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
          matmul_dtype: str = "bfloat16"):
     import os
 
-    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not _tpu_reachable():
+    force = os.environ.get("POSEPROBE_BENCH_FORCE_TPU", "") == "1"
+    if (not force and os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
+            and not _tpu_reachable(attempts=4)):
         # the tunneled TPU is down: fall back to CPU so the benchmark still
         # reports (the device field makes the fallback visible)
         import jax

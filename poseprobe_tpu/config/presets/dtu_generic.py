@@ -49,6 +49,15 @@ def get_config(datadir: str = "./data/DTU", scan_id: int = 2,
             weight_surface_projection=0.001,               # coarse.py:52
             projection_dis_error=0.001, weight_near_surface=0.1,
             lr_pose=1e-3, lr_pose_end=1e-4,                # coarse.py:75-76
+            # progressive grid scaling, fine_train-style schedule
+            # (`configs/default_fine_s.py:70`; note the live surf_train
+            # template disables it at :78 — enabled here as the DVGO-standard
+            # coarse-to-fine warmup): start at 96^3/8, double the voxel count
+            # at each checkpoint, full resolution by 3k steps
+            pg_scale=(1000, 2000, 3000),
+            # free-space skipping: rebuild the occupancy mask from the live
+            # SDF every 1000 steps (reference MaskCache analog, `grid.py:212`)
+            maskcache_update_every=1000,
         ),
         scene_model=SceneConfig(
             barf_c2f=(0.4, 0.7), sample_intvs=128, sample_intvs_fine=128,
