@@ -161,6 +161,7 @@ def main():
     t0 = time.time()
 
     def on_log(h):
+        h["wall"] = round(time.time() - t0, 2)  # for time-to-PSNR analysis
         # pose error vs GT after small-system alignment (`recon_scene.py:654-668`)
         try:
             cur_p = trainer.current_pose()[: trainer.state.n_active]
@@ -228,6 +229,8 @@ def main():
             test_photo=not args.no_test_optim and cfg.scene_train.test_photo,
             test_iter=cfg.scene_train.test_iter,
             progress=min(trainer.state.step / cfg.scene_model.max_iter, 1.0))
+        results["train_seconds"] = round(time.time() - t0, 1)
+        results["steps"] = int(trainer.state.step)
         print(json.dumps(results, indent=2))
         with open(os.path.join(out_dir, f"{cfg.expname}.json"), "w") as f:
             json.dump(results, f, indent=2)

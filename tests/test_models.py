@@ -297,3 +297,41 @@ class TestMixedPrecisionSceneMLP:
         g = jax.grad(lambda p: scene_nerf.nerf_forward(p, cfg16, pts, ray, 1.0)[
             "rgb_samples"].sum())(params["nerf"])
         assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+class TestBatchedRenderEquivalence:
+    def test_concatenated_rays_render_identically(self):
+        """The trainer batches main + corres rays into ONE render_rays call;
+        per-ray independence means the concatenated render must equal the
+        separate renders (deterministic path: rng=None)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from poseprobe_tpu.models import scene_nerf
+
+        cfg = scene_nerf.SceneConfig(layers_feat=(32,) * 4, layers_rgb=(16, 3),
+                                     skip=(2,), L_3D=4, L_view=2,
+                                     sample_intvs=12, sample_intvs_fine=12,
+                                     rand_rays=24, fine_sampling=True,
+                                     barf_c2f=None)
+        params = scene_nerf.init_scene_params(jax.random.PRNGKey(0), cfg)
+        kc, kr = jax.random.split(jax.random.PRNGKey(1))
+        center = jax.random.normal(kc, (1, 24, 3)) * 0.1
+        ray = jax.random.normal(kr, (1, 24, 3))
+        ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+        full = scene_nerf.render_rays(params, cfg, center, ray, (0.5, 4.0),
+                                      progress=1.0, rng=None, compute_fine=True,
+                                      mode_train=False)
+        part_a = scene_nerf.render_rays(params, cfg, center[:, :10], ray[:, :10],
+                                        (0.5, 4.0), progress=1.0, rng=None,
+                                        compute_fine=True, mode_train=False)
+        part_b = scene_nerf.render_rays(params, cfg, center[:, 10:], ray[:, 10:],
+                                        (0.5, 4.0), progress=1.0, rng=None,
+                                        compute_fine=True, mode_train=False)
+        for k in ("rgb", "depth", "rgb_fine", "depth_fine", "opacity_fine"):
+            got = np.asarray(full[k])
+            want = np.concatenate([np.asarray(part_a[k]), np.asarray(part_b[k])], axis=1)
+            np.testing.assert_allclose(got, want, atol=1e-5, err_msg=k)
