@@ -52,6 +52,14 @@ class CameraConfig:
     # noisy-GT mode); True/False overrides. Fixing pose 0 removes the gauge
     # freedom and speeds up short-horizon pose convergence.
     fix_first_pose: Optional[bool] = None
+    # mid-training re-registration (TPU rebuild extension, None = off =
+    # reference behavior): at step = ratio * max_iter, re-run the PnP chain
+    # for every view i >= 1 against depth rendered by the (by then converged)
+    # scene NeRF at the previous view's match pixels, replacing poses_pnp and
+    # zeroing the refinement rows. Classical incremental-SfM re-registration:
+    # snaps the per-view translation errors injected by activation-time PnP
+    # against the scale-ambiguous probe SDF (see logs/run_journal).
+    reregister_at_ratio: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

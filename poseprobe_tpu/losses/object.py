@@ -122,12 +122,8 @@ def k0_total_variation(params: dict, nonempty_mask=None) -> jnp.ndarray:
 
 
 def _tv_smooth_kernel():
-    """The normalized 3x3x3 binomial kernel of `init_gradient_conv`
-    (`voxurf_coarse.py:233-244` with sigma=0)."""
-    import numpy as np
-    k = np.asarray([
-        [[1, 2, 1], [2, 4, 2], [1, 2, 1]],
-        [[2, 4, 2], [4, 8, 4], [2, 4, 2]],
-        [[1, 2, 1], [2, 4, 2], [1, 2, 1]],
-    ], dtype=np.float32)
-    return jnp.asarray(k / k.sum())
+    """Separable 1-D factor [1,2,1]/4 of the normalized 3x3x3 binomial kernel
+    of `init_gradient_conv` (`voxurf_coarse.py:233-244` with sigma=0); the
+    full kernel is exactly its triple outer product."""
+    from ..ops import grid as grid_ops
+    return grid_ops.binomial_kernel_1d()

@@ -221,8 +221,9 @@ def processed_sdf_grid(params: dict, cfg: ObjectConfig) -> jnp.ndarray:
     """Smoothing (optional) + learned mapping to the rendered SDF (`:744-749`)."""
     sdf = params["sdf_grid"]
     if cfg.smooth_ksize > 0:
-        kernel = grid_ops.gaussian_kernel_3d(cfg.smooth_ksize, cfg.smooth_sigma)
-        sdf = grid_ops.conv3d_replicate(sdf, kernel)
+        # Gaussian is separable: 3 cheap 1-D passes instead of a 3-D conv
+        kernel = grid_ops.gaussian_kernel_1d(cfg.smooth_ksize, cfg.smooth_sigma)
+        sdf = grid_ops.conv3d_separable_replicate(sdf, kernel)
     alpha = softplus10(params["sdf_alpha"])
     beta = softplus10(params["sdf_beta"])
     return alpha * (jax.nn.sigmoid(beta * sdf) - 0.5)

@@ -439,14 +439,56 @@ def conv3d_replicate(grid: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return out[0]
 
 
+def conv3d_separable_replicate(grid: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
+    """Separable depthwise smoothing on [C, X, Y, Z]: the 3D kernel is the
+    outer product ``k1d (x) k1d (x) k1d`` (true for the binomial TV-smooth
+    and Gaussian kernels used here), applied as three 1-D passes of
+    pad(edge)+shifted adds. Avoids XLA's 3-D conv lowering entirely — a
+    depthwise NCDHW conv3d dominates the early-phase step cost, while this
+    form is a handful of fused elementwise adds."""
+    k = int(k1d.shape[0])
+    p = k // 2
+    out = grid
+    for axis in (1, 2, 3):
+        pad_width = [(0, 0)] * 4
+        pad_width[axis] = (p, p)
+        padded = jnp.pad(out, pad_width, mode="edge")
+        acc = None
+        for i in range(k):
+            idx = [slice(None)] * 4
+            idx[axis] = slice(i, i + out.shape[axis])
+            term = k1d[i] * padded[tuple(idx)]
+            acc = term if acc is None else acc + term
+        out = acc
+    return out
+
+
+def binomial_kernel_1d() -> jnp.ndarray:
+    """[1, 2, 1]/4 — the separable factor of the reference's 3x3x3 binomial
+    TV-smooth kernel (`init_gradient_conv`, `voxurf_coarse.py:233-244`)."""
+    return jnp.asarray([0.25, 0.5, 0.25], jnp.float32)
+
+
+def gaussian_kernel_1d(ksize: int, sigma: float) -> jnp.ndarray:
+    """Normalized 1-D Gaussian — separable factor of `gaussian_kernel_3d`."""
+    r = jnp.arange(-(ksize // 2), ksize // 2 + 1, dtype=jnp.float32)
+    k = jnp.exp(-(r**2) / (2.0 * sigma**2))
+    return k / k.sum()
+
+
 def smooth_grad_tv(sdf_grad: jnp.ndarray, smooth_kernel: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """||smooth(grad).detach() - grad||^2 regularizer.
 
     Mirrors `density_total_variation(smooth_grad_tv=...)`
     (`lib/voxurf_coarse.py:407-422`) with the smoothing conv treated as
     constant (stop_gradient), matching the reference `.detach()`.
+    `smooth_kernel` may be the separable 1-D factor [k] (fast path) or a
+    full [k, k, k] kernel.
     """
-    smoothed = jax.lax.stop_gradient(conv3d_replicate(sdf_grad, smooth_kernel))
+    if smooth_kernel.ndim == 1:
+        smoothed = jax.lax.stop_gradient(conv3d_separable_replicate(sdf_grad, smooth_kernel))
+    else:
+        smoothed = jax.lax.stop_gradient(conv3d_replicate(sdf_grad, smooth_kernel))
     err = (smoothed - sdf_grad) ** 2
     if mask is not None:
         err = err * mask.astype(err.dtype)

@@ -433,6 +433,42 @@ class JointTrainer:
         if self.cfg.object_model.use_maskcache:
             self.refresh_maskcache()
 
+    def reregister_poses(self) -> None:
+        """Re-run the PnP chain for all views against scene-NeRF depth.
+
+        Mid-training re-registration (classical incremental-SfM practice; an
+        extension over the reference): activation-time PnP against the
+        deformable probe SDF injects per-view translation error (probe-scale
+        ambiguity — measured in logs/run_journal). Once the scene NeRF's
+        depth is sharp, one chained re-PnP against it snaps every pose back
+        into the common gauge; the refinement params restart from zero and
+        the pose optimizer keeps polishing.
+        """
+        cfg = self.cfg
+        cur = np.asarray(self.current_pose())
+        progress = min(self.state.step / cfg.scene_model.max_iter, 1.0)
+        use_fine = bool(cfg.scene_model.fine_sampling and self.state.step >= self.fine_start)
+        poses_pnp = np.asarray(self.state.poses_pnp).copy()
+        poses_pnp[0] = cur[0]
+        # each view solved INDEPENDENTLY against the fixed current scene
+        # (anchors = depth under the neighbour's current pose) — a chained
+        # solve would re-accumulate drift along the chain
+        for i in range(1, self.state.n_active):
+            prev = i - 1
+            solved = pnp_mod.pnp_from_scene_depth(
+                self.state.scene_params, cfg.scene_model,
+                np.asarray(self.scene_matches[i]), np.asarray(self.Ks[i]),
+                cur[prev], depth_range=(self.data.near, self.data.far),
+                progress=progress, use_fine=use_fine)
+            # pnp_from_scene_depth falls back to the *neighbour's* pose on
+            # failure; in that case keep view i's own current pose instead
+            poses_pnp[i] = cur[i] if np.allclose(solved, cur[prev]) else solved
+        self.state.poses_pnp = jnp.asarray(poses_pnp)
+        refine = np.asarray(self.state.pose_params["se3_refine"]).copy()
+        refine[: self.state.n_active] = 0.0
+        self.state.pose_params = dict(self.state.pose_params,
+                                      se3_refine=jnp.asarray(refine))
+
     def maybe_activate_view(self, step: int) -> None:
         """Incremental activation + PnP of the newly added view (host event)."""
         cfg = self.cfg
@@ -481,10 +517,14 @@ class JointTrainer:
 
     def fit(self, num_steps: int, log_every: int = 0, callback=None) -> list[dict]:
         ot = self.cfg.object_train
+        rereg_at = (int(self.cfg.camera.reregister_at_ratio * self.cfg.scene_model.max_iter)
+                    if self.cfg.camera.reregister_at_ratio is not None else -1)
         for _ in range(num_steps):
             step = self.state.step
             self.maybe_activate_view(step)
             self.maybe_pg_scale(step)
+            if step == rereg_at and step > 0:
+                self.reregister_poses()
             if (self.cfg.object_model.use_maskcache and step > 0
                     and step <= ot.N_iters
                     and step % ot.maskcache_update_every == 0):

@@ -63,6 +63,9 @@ def parse_args():
     p.add_argument("--pnp_anchor", type=str, default="",
                    choices=["", "object", "scene"],
                    help="activation-time PnP 3D-anchor source (see PnPConfig)")
+    p.add_argument("--reregister", type=float, default=0.0,
+                   help="re-register all poses against scene depth at this "
+                        "ratio of max_iter (CameraConfig.reregister_at_ratio)")
     return p.parse_args()
 
 
@@ -130,6 +133,10 @@ def main():
     if args.pnp_anchor:
         cfg = dataclasses.replace(
             cfg, pnp=dataclasses.replace(cfg.pnp, anchor=args.pnp_anchor))
+    if args.reregister:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(cfg.camera,
+                                            reregister_at_ratio=args.reregister))
 
     import numpy as np
 

@@ -240,3 +240,28 @@ class TestFinePassSortFreePaths:
         got = np.asarray((jnp.asarray(cdf)[..., :, None]
                           <= jnp.asarray(unif)[..., None, :]).sum(axis=-2))
         np.testing.assert_array_equal(got, want)
+
+
+class TestSeparableConv:
+    def test_separable_equals_full_3d_conv(self):
+        """conv3d_separable_replicate(k1d) == conv3d_replicate(outer(k1d^3))
+        for the binomial and Gaussian kernels (both exactly separable)."""
+        from poseprobe_tpu.ops import grid as grid_ops
+
+        rng = np.random.RandomState(0)
+        g = jnp.asarray(rng.rand(3, 9, 8, 7).astype(np.float32))
+
+        k1 = grid_ops.binomial_kernel_1d()
+        k3 = jnp.einsum("i,j,k->ijk", k1, k1, k1)
+        a = grid_ops.conv3d_separable_replicate(g, k1)
+        b = grid_ops.conv3d_replicate(g, k3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+        k1g = grid_ops.gaussian_kernel_1d(5, 0.8)
+        k3g = grid_ops.gaussian_kernel_3d(5, 0.8)
+        np.testing.assert_allclose(
+            np.asarray(jnp.einsum("i,j,k->ijk", k1g, k1g, k1g)),
+            np.asarray(k3g), atol=1e-7)
+        a = grid_ops.conv3d_separable_replicate(g, k1g)
+        b = grid_ops.conv3d_replicate(g, k3g)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
