@@ -60,6 +60,13 @@ class CameraConfig:
     # snaps the per-view translation errors injected by activation-time PnP
     # against the scale-ambiguous probe SDF (see logs/run_journal).
     reregister_at_ratio: Optional[float] = None
+    # activation-time pose warmup (TPU rebuild extension, 0 = off =
+    # reference behavior): after PnP-initialising a newly activated view,
+    # run this many photometric pose-only Adam steps against the current
+    # scene (the test-time pose-optim machinery, `renderer.py:1312-1337`,
+    # applied at activation) before joint training touches the view.
+    activation_pose_warmup: int = 0
+    activation_warmup_lr: float = 3e-3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,8 +44,16 @@ def test_time_pose_optim(
     rand_rays: int = 1024,
     seed: int = 0,
     progress: float = 1.0,
+    use_fine: bool | None = None,
 ) -> jnp.ndarray:
-    """Optimize a per-image se3 refinement photometrically (`renderer.py:1312-1337`)."""
+    """Optimize a per-image se3 refinement photometrically (`renderer.py:1312-1337`).
+
+    Also reused by the trainer as an activation-time pose warmup (align a
+    newly activated view against the current scene before joint training
+    touches it); pass `use_fine=False` before the fine phase starts.
+    """
+    if use_fine is None:
+        use_fine = scene_cfg.fine_sampling
     H, W = image.shape[:2]
     se3 = jnp.zeros((1, 6))
     opt = optax.adam(lr)
@@ -64,7 +72,7 @@ def test_time_pose_optim(
             center, ray = rays_mod.get_center_and_ray_at_pixels(pose[None], pixels, K[None])
             rets = scene_nerf.render_rays(scene_params, scene_cfg, center, ray,
                                           depth_range, progress=progress, rng=None,
-                                          compute_fine=scene_cfg.fine_sampling,
+                                          compute_fine=use_fine,
                                           mode_train=False)
             rgb = rets.get("rgb_fine", rets["rgb"])
             target = img_flat[ray_idx]

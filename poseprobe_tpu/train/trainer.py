@@ -498,6 +498,21 @@ class JointTrainer:
                 near=self.data.near, far=self.data.far)
         else:
             new_pose = np.asarray(self.state.poses_pnp[new_idx])
+        if cfg.camera.activation_pose_warmup > 0:
+            # photometric warmup: align the new view against the current
+            # scene before the joint loss sees it (cuts the PnP t-injection)
+            from ..eval import evaluator
+
+            new_pose = np.asarray(evaluator.test_time_pose_optim(
+                self.state.scene_params, cfg.scene_model,
+                jnp.asarray(new_pose), self.Ks[new_idx],
+                self.images[new_idx], (self.data.near, self.data.far),
+                n_iters=cfg.camera.activation_pose_warmup,
+                lr=cfg.camera.activation_warmup_lr,
+                rand_rays=min(1024, self.H * self.W),
+                progress=min(step / cfg.scene_model.max_iter, 1.0),
+                use_fine=bool(cfg.scene_model.fine_sampling
+                              and step >= self.fine_start)))
         poses_pnp = np.asarray(self.state.poses_pnp).copy()
         poses_pnp[new_idx] = new_pose
         self.state.poses_pnp = jnp.asarray(poses_pnp)

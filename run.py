@@ -66,6 +66,24 @@ def parse_args():
     p.add_argument("--reregister", type=float, default=0.0,
                    help="re-register all poses against scene depth at this "
                         "ratio of max_iter (CameraConfig.reregister_at_ratio)")
+    p.add_argument("--pose_warmup", type=int, default=0,
+                   help="photometric pose-only steps for each newly "
+                        "activated view (CameraConfig.activation_pose_warmup)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke tests; the site hook "
+                        "pins JAX_PLATFORMS so an env var is not enough)")
+    p.add_argument("--loss_weight", action="append", default=[],
+                   help="override a scene log10 loss weight, e.g. "
+                        "--loss_weight depth_cons=-2 (repeatable; 'none' "
+                        "disables the term)")
+    p.add_argument("--dc_start", type=float, default=0.0,
+                   help="override start_ratio_depth_cons alone (without "
+                        "touching the fine-sampling start)")
+    p.add_argument("--fg_fraction", type=float, default=-1.0,
+                   help="override sample_fraction_in_fg_mask")
+    p.add_argument("--incremental_step", type=int, default=0,
+                   help="override CameraConfig.incremental_step (steps "
+                        "between view activations)")
     return p.parse_args()
 
 
@@ -103,6 +121,10 @@ def main():
     import dataclasses
 
     args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     cfg = load_config(args)
     if args.seed is not None:
         from poseprobe_tpu.config.config import replace
@@ -137,6 +159,30 @@ def main():
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,
                                             reregister_at_ratio=args.reregister))
+    if args.pose_warmup:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(cfg.camera,
+                                            activation_pose_warmup=args.pose_warmup))
+    if args.incremental_step:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(cfg.camera,
+                                            incremental_step=args.incremental_step))
+    if args.loss_weight:
+        lw = dict(cfg.scene_train.loss_weight)
+        for item in args.loss_weight:
+            name, _, val = item.partition("=")
+            lw[name] = None if val.lower() == "none" else float(val)
+        cfg = dataclasses.replace(
+            cfg, scene_train=dataclasses.replace(cfg.scene_train,
+                                                 loss_weight=tuple(lw.items())))
+    if args.dc_start:
+        cfg = dataclasses.replace(
+            cfg, scene_train=dataclasses.replace(cfg.scene_train,
+                                                 start_ratio_depth_cons=args.dc_start))
+    if args.fg_fraction >= 0:
+        cfg = dataclasses.replace(
+            cfg, scene_train=dataclasses.replace(
+                cfg.scene_train, sample_fraction_in_fg_mask=args.fg_fraction))
 
     import numpy as np
 

@@ -193,6 +193,24 @@ class TestPnPModes:
 
 
 class TestSixViews:
+    def test_activation_pose_warmup(self, scene_data):
+        """activation_pose_warmup runs the photometric pose-only optimisation
+        at view activation (the test-time machinery applied at activation,
+        `renderer.py:1312-1337`) and training continues finitely."""
+        cfg = tiny_config(scene_data, max_iter=80, n_iters_obj=80, incremental_step=30)
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(cfg.camera, activation_pose_warmup=3,
+                                            activation_warmup_lr=1e-3))
+        tr = JointTrainer(cfg, scene_data)
+        before = np.asarray(tr.state.poses_pnp).copy()
+        hist = tr.fit(80, log_every=20)
+        assert tr.state.n_active == 3  # both activations fired through warmup
+        after = np.asarray(tr.state.poses_pnp)
+        # warmup must have moved the activated views' PnP bases
+        assert not np.allclose(before[1:], after[1:])
+        for h in hist:
+            assert np.isfinite(h["loss_total"])
+
     def test_six_view_incremental_activation(self):
         # 3-6 views supported (README.md:26); exercise 4 activation events
         data6 = make_synthetic_scene(n_train=6, n_test=1, H=32, W=32, seed=9)
