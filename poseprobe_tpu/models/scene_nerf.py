@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..core import rays as rays_mod
 from ..ops import compositing, pe, ray_sampling
+from ..ops.pallas import fused_mlp
 from .mlp import apply_mlp, init_linear
 
 
@@ -59,6 +60,13 @@ class SceneConfig:
     # bf16 raises the matmul roofline ~3x. Default float32 keeps unit-test
     # parity bit-exact; set "bfloat16" in production presets/bench.
     matmul_dtype: str = "float32"
+    # Fused Pallas trunk (ops/pallas/fused_mlp.py): keeps all 8 trunk matmuls
+    # and their activations in VMEM (bwd rematerialises per-tile), removing
+    # the [N, 256]-per-layer HBM activation round-trips that cap the XLA
+    # trunk at ~1/3 of the MXU roofline. Engages automatically on TPU when
+    # matmul_dtype is bfloat16 and the architecture fits the kernel's layout
+    # contract (uniform width % 128 == 0, single mid skip).
+    use_fused_trunk: bool = True
 
     @property
     def input_3d_dim(self) -> int:
@@ -137,15 +145,19 @@ def nerf_forward(mlp: dict, cfg: SceneConfig, points: jnp.ndarray, ray: jnp.ndar
     mlp = cast_mlp_params(mlp, cfg.matmul_dtype)  # no-op if already cast
     enc = pe.posenc_scene(points, cfg.L_3D, progress, cfg.barf_c2f,
                           include_pi=cfg.include_pi, add_raw=cfg.add_raw_3d).astype(cdt)
-    feat = enc
-    for li, layer in enumerate(mlp["feat"]):
-        if li in cfg.skip:
-            feat = jnp.concatenate([feat, enc], axis=-1)
-        feat = _mm(feat, layer["w"], layer["b"])
-        if li == len(mlp["feat"]) - 1:
-            raw_density = feat[..., 0].astype(jnp.float32)
-            feat = feat[..., 1:]
-        feat = jax.nn.relu(feat)
+    if (cfg.use_fused_trunk and cdt == jnp.bfloat16
+            and fused_mlp.supports(cfg) and fused_mlp.on_tpu()):
+        raw_density, feat = fused_mlp.fused_trunk(enc, mlp["feat"], cfg.skip[0])
+    else:
+        feat = enc
+        for li, layer in enumerate(mlp["feat"]):
+            if li in cfg.skip:
+                feat = jnp.concatenate([feat, enc], axis=-1)
+            feat = _mm(feat, layer["w"], layer["b"])
+            if li == len(mlp["feat"]) - 1:
+                raw_density = feat[..., 0].astype(jnp.float32)
+                feat = feat[..., 1:]
+            feat = jax.nn.relu(feat)
     density = jax.nn.softplus(raw_density) if cfg.density_activ == "softplus" else jax.nn.relu(raw_density)
 
     if cfg.view_dep:

@@ -95,6 +95,79 @@ def _force_tpu_path(sdf, cos, mask, rgb, step, inv_s, dist):
     return w_t.T[:, :S], ainv[0], rgbm, nstep[0]
 
 
+class TestFusedTrunk:
+    """ops/pallas/fused_mlp vs the XLA bf16 trunk (interpret mode)."""
+
+    H, L, SKIP, D = 128, 3, 1, 39
+
+    def _layers(self):
+        from poseprobe_tpu.models.mlp import init_linear
+        keys = jax.random.split(jax.random.PRNGKey(1), self.L)
+        layers = []
+        for l in range(self.L):
+            d_in = self.D if l == 0 else self.H
+            if l == self.SKIP:
+                d_in += self.D
+            d_out = self.H + 1 if l == self.L - 1 else self.H
+            layers.append(init_linear(keys[l], d_in, d_out, "xavier_relu"))
+        return layers
+
+    def _xla_trunk(self, layers, enc):
+        feat = encb = enc.astype(jnp.bfloat16)
+        for li, layer in enumerate(layers):
+            if li == self.SKIP:
+                feat = jnp.concatenate([feat, encb], axis=-1)
+            w = layer["w"].astype(jnp.bfloat16)
+            b = layer["b"].astype(jnp.bfloat16)
+            feat = jax.lax.dot_general(feat, w, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=feat.dtype) + b
+            if li == self.L - 1:
+                raw = feat[..., 0].astype(jnp.float32)
+                feat = feat[..., 1:]
+            feat = jax.nn.relu(feat)
+        return raw, feat
+
+    def test_forward_parity(self):
+        from poseprobe_tpu.ops.pallas import fused_mlp
+        layers = self._layers()
+        enc = jax.random.normal(jax.random.PRNGKey(2), (700, self.D))  # non-TILE-multiple
+        raw_ref, feat_ref = self._xla_trunk(layers, enc)
+        raw_f, feat_f = fused_mlp.fused_trunk(enc, layers, self.SKIP, interpret=True)
+        np.testing.assert_allclose(np.asarray(raw_f), np.asarray(raw_ref), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(feat_f, dtype=np.float32),
+                                   np.asarray(feat_ref, dtype=np.float32), atol=1e-2)
+
+    def test_gradient_parity(self):
+        from poseprobe_tpu.ops.pallas import fused_mlp
+        layers = self._layers()
+        enc = jax.random.normal(jax.random.PRNGKey(3), (512, self.D))
+
+        def loss(trunk):
+            def f(params, enc):
+                raw, feat = trunk(params, enc)
+                return jax.nn.softplus(raw).sum() + (feat.astype(jnp.float32) ** 2).sum()
+            return f
+
+        g_ref = jax.grad(loss(lambda p, e: self._xla_trunk(p, e)))(layers, enc)
+        g_fus = jax.grad(loss(lambda p, e: fused_mlp.fused_trunk(
+            e, p, self.SKIP, interpret=True)))(layers, enc)
+        for l in range(self.L):
+            for k in ("w", "b"):
+                a, b = np.asarray(g_ref[l][k]), np.asarray(g_fus[l][k])
+                assert np.abs(a - b).max() <= 2e-2 * (np.abs(a).max() + 1e-6), (l, k)
+        ge_ref = jax.grad(loss(lambda p, e: self._xla_trunk(p, e)), argnums=1)(layers, enc)
+        ge_fus = jax.grad(loss(lambda p, e: fused_mlp.fused_trunk(
+            e, p, self.SKIP, interpret=True)), argnums=1)(layers, enc)
+        assert np.abs(np.asarray(ge_ref - ge_fus)).max() <= 2e-2 * np.abs(ge_ref).max()
+
+    def test_supports_production_config(self):
+        from poseprobe_tpu.models.scene_nerf import SceneConfig
+        from poseprobe_tpu.ops.pallas import fused_mlp
+        assert fused_mlp.supports(SceneConfig())                       # 8x256, skip 4
+        assert not fused_mlp.supports(SceneConfig(layers_feat=(48,) * 4, skip=(2,)))
+        assert not fused_mlp.supports(SceneConfig(skip=(1, 4)))
+
+
 class TestPallasRenderPath:
     def test_object_render_pallas_flag_matches_default(self):
         # with the flag on (falls back to jnp twin off-TPU) the render output
