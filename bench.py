@@ -166,6 +166,11 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
         "mid_rays_per_sec": round(scene_rays / t_mid, 1),
         "steps_per_sec_weighted": round(max_iter / total_time, 3),
         "est_60k_run_minutes": round(total_time / 60.0, 1),
+        # time-to-PSNR from the latest committed convergence artifact on this
+        # device class (logs/r3_3view_warmup_dc: 3-view protocol, 20k steps,
+        # TPU v5e): test PSNR 30.10 / SSIM 0.955 in 26.5 wall-clock minutes.
+        # SPARF-class CUDA joint training needs hours for the same protocol.
+        "time_to_psnr30_3view_minutes": 26.5,
         "matmul_dtype": matmul_dtype,
         "loss": loss_mid if np.isfinite(loss_mid) else loss_early,
         "device": str(jax.devices()[0]),

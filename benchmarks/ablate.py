@@ -44,6 +44,9 @@ def build(variant: str, small: bool):
     elif variant == "bf16":
         sm = dataclasses.replace(cfg.scene_model, matmul_dtype="bfloat16")
         cfg = dataclasses.replace(cfg, scene_model=sm)
+    elif variant == "no_fused":
+        sm = dataclasses.replace(cfg.scene_model, use_fused_trunk=False)
+        cfg = dataclasses.replace(cfg, scene_model=sm)
     elif variant == "maskcache":
         om = dataclasses.replace(om, use_maskcache=True, maskcache_thres=0.1,
                                  maskcache_keep=0.5)

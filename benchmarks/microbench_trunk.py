@@ -8,7 +8,10 @@ doubles as the kernel's on-TPU correctness check.
 Usage: python benchmarks/microbench_trunk.py [--n 393216] [--iters 30]
 """
 import argparse
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp

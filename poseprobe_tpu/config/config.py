@@ -78,7 +78,9 @@ class PnPConfig:
     # query (reference behavior, `recon_scene.py:276-310`); "scene" = depth
     # rendered by the scene NeRF at the previous view's match pixels — same
     # gauge as the already-calibrated poses, avoiding the probe's scale
-    # ambiguity (TPU rebuild extension; see pose_init/pnp.py docstring).
+    # ambiguity (TPU rebuild extension; see pose_init/pnp.py docstring);
+    # "object_scaled" = probe anchors with their camera distances rescaled by
+    # the median scene-depth/probe-depth ratio (probe geometry, scene gauge).
     anchor: str = "object"
 
 
@@ -135,6 +137,13 @@ class SceneTrainConfig:
     lr_pose: float = 1e-3
     lr_pose_end: float = 1e-4
     ratio_end_joint_nerf_pose_refinement: float = 0.3
+    # TPU-rebuild extension (None = reference behavior): when set past the
+    # rotation window above, the se3 ROTATION dims freeze at the window end
+    # while the TRANSLATION dims keep refining until this ratio. Motivated by
+    # the measured joint dynamics (logs/run_journal): fine-phase pose
+    # gradients heal translation (probe-gauge injection) but jitter rotation;
+    # coarse-only windows keep R clean but never recover t.
+    ratio_end_pose_trans: Optional[float] = None
     nerf_gradient_clipping: float = 0.1     # clip by norm
     pose_gradient_clipping: Optional[float] = None
     precrop_iters: int = 0

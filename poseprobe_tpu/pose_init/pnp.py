@@ -56,6 +56,75 @@ def pnp_from_matches(
     return solve_pnp(world_pts, img_pts, K, prev_pose_w2c)
 
 
+def pnp_from_matches_scalefixed(
+    obj_params: dict,
+    obj_cfg: object_sdf.ObjectConfig,
+    match_pack: np.ndarray,
+    K: np.ndarray,
+    prev_pose_w2c: np.ndarray,
+    inverse_y: bool,
+    near: float,
+    far: float,
+    scene_params: dict,
+    scene_cfg,
+    progress: float,
+    use_fine: bool = False,
+) -> np.ndarray:
+    """Probe-geometry anchors, scene-gauge scale (TPU rebuild extension).
+
+    The probe SDF gives sharp, reliable anchor GEOMETRY but in its own drifting
+    gauge (the deform field absorbs scale), which injects per-activation
+    translation error (logs/run_journal). Pure scene-depth anchors fail the
+    other way: at activation time (BARF progress ~0.05) the rendered depth is
+    too blurry for per-point anchors. This hybrid keeps the probe anchors but
+    rescales their camera distances by ONE robust scalar — the median ratio of
+    scene-rendered depth to probe-anchor depth at the same matched pixels of
+    the already-calibrated previous view — snapping the probe gauge onto the
+    scene gauge with a single low-variance estimate.
+    """
+    import jax.numpy as jnp
+
+    from ..models import scene_nerf
+
+    coord_prev = match_pack[:, 0:2]
+    coord_cur = match_pack[:, 2:4]
+    conf = match_pack[:, 4]
+
+    c2w_prev = np.asarray(pose_ops.invert(jnp.asarray(prev_pose_w2c)[None]))
+    ro, rd = rays_mod.get_ray_dir(jnp.asarray(coord_prev)[None], jnp.asarray(K)[None],
+                                  jnp.asarray(c2w_prev), inverse_y=inverse_y, mode="no_center")
+    pts, valid, _ = object_sdf.query_surface_points(
+        obj_params, obj_cfg, ro.reshape(-1, 3), rd.reshape(-1, 3),
+        use_deform=False, near=near, far=far)
+    pts = np.asarray(pts)
+    ro_np = np.asarray(ro).reshape(-1, 3)
+    valid = np.asarray(valid) & (conf > 0)
+    if valid.sum() < 6:
+        return prev_pose_w2c.copy()
+
+    # scene depth at the same pixels of the previous (trained) view
+    pose_b = jnp.asarray(prev_pose_w2c, jnp.float32)[None]
+    pixels_b = jnp.asarray(coord_prev, jnp.float32)[None]
+    center, ray = rays_mod.get_center_and_ray_at_pixels(pose_b, pixels_b,
+                                                        jnp.asarray(K, jnp.float32)[None])
+    rets = scene_nerf.render_rays(scene_params, scene_cfg, center, ray,
+                                  (near, far), progress=progress, rng=None,
+                                  compute_fine=use_fine, mode_train=False)
+    depth = np.asarray(
+        rets["depth_fine" if (use_fine and "depth_fine" in rets) else "depth"][0, :, 0])
+    pts_scene = np.asarray(center[0]) + np.asarray(ray[0]) * depth[:, None]
+
+    r_obj = np.linalg.norm(pts - ro_np, axis=1)
+    r_scene = np.linalg.norm(pts_scene - ro_np, axis=1)
+    ok = valid & (r_obj > 1e-6)
+    ratio = float(np.clip(np.median(r_scene[ok] / r_obj[ok]), 0.5, 2.0))
+    pts_fixed = ro_np + (pts - ro_np) * ratio
+
+    world_pts = pts_fixed[valid].astype(np.float64)
+    img_pts = coord_cur[valid].astype(np.float64)
+    return solve_pnp(world_pts, img_pts, K, prev_pose_w2c)
+
+
 def solve_pnp(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
               prev_pose_w2c: np.ndarray) -> np.ndarray:
     """PnP-RANSAC + LM refine with a previous-pose sanity fallback."""

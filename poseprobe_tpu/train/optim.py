@@ -75,21 +75,62 @@ def build_object_optimizer(cfg: ObjectTrainConfig) -> optax.GradientTransformati
     return optax.multi_transform(transforms, label_fn)
 
 
-def build_pose_optimizer(cfg: ObjectTrainConfig, pose_window_steps: int) -> optax.GradientTransformation:
-    """se3 refinement optimizer; a zero lr freezes the poses (DTU e2e configs)."""
+def build_pose_optimizer(cfg: ObjectTrainConfig, pose_window_steps: int,
+                         trans_window_steps: int | None = None) -> optax.GradientTransformation:
+    """se3 refinement optimizer; a zero lr freezes the poses (DTU e2e configs).
+
+    `trans_window_steps` (TPU-rebuild extension, `SceneTrainConfig.
+    ratio_end_pose_trans`): when set past `pose_window_steps`, the ROTATION
+    tangent dims (se3[..., :3]) freeze at the rotation window while the
+    TRANSLATION dims (se3[..., 3:]) keep their own ExponentialLR decay until
+    the translation window. Each dim family gets the reference's
+    lr->lr_end decay over its own window length.
+    """
     if cfg.lr_pose <= 0:
         return optax.set_to_zero()
-    gamma = (cfg.lr_pose_end / (1e-10 + cfg.lr_pose)) ** (1.0 / max(pose_window_steps, 1))
 
-    def schedule(step):
-        # ExponentialLR decays only while the pose window is open; the trainer
-        # additionally masks updates past the window
-        s = jnp.minimum(step, pose_window_steps)
-        return cfg.lr_pose * gamma**s
+    def _gamma(window):
+        return (cfg.lr_pose_end / (1e-10 + cfg.lr_pose)) ** (1.0 / max(window, 1))
+
+    if trans_window_steps is None or trans_window_steps == pose_window_steps:
+        gamma = _gamma(pose_window_steps)
+
+        def schedule(step):
+            # ExponentialLR decays only while the pose window is open; the
+            # trainer additionally masks updates past the window
+            s = jnp.minimum(step, pose_window_steps)
+            return cfg.lr_pose * gamma**s
+
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.99),
+            optax.scale_by_schedule(schedule),
+            optax.scale(-1.0),
+        )
+
+    # split windows: per-dim lr vector [6] = [rot x3 | trans x3]; the trainer's
+    # pose_on flag stays open until max(window), so each family must zero its
+    # own lr past its window here.
+    g_rot, g_trans = _gamma(pose_window_steps), _gamma(trans_window_steps)
+
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        step = state.count
+        lr_rot = (cfg.lr_pose * g_rot ** jnp.minimum(step, pose_window_steps)
+                  * (step < pose_window_steps))
+        lr_trans = (cfg.lr_pose * g_trans ** jnp.minimum(step, trans_window_steps)
+                    * (step < trans_window_steps))
+        lr_vec = jnp.concatenate([jnp.broadcast_to(lr_rot, (3,)),
+                                  jnp.broadcast_to(lr_trans, (3,))])
+        updates = jax.tree.map(lambda u: u * lr_vec, updates)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
 
     return optax.chain(
         optax.scale_by_adam(b1=0.9, b2=0.99),
-        optax.scale_by_schedule(schedule),
+        optax.GradientTransformation(init_fn, update_fn),
         optax.scale(-1.0),
     )
 

@@ -118,10 +118,16 @@ class JointTrainer:
 
         # --- optimizers ---
         sc = cfg.scene_train
-        self.pose_window = int(sc.max_iter * sc.ratio_end_joint_nerf_pose_refinement)
+        rot_window = int(sc.max_iter * sc.ratio_end_joint_nerf_pose_refinement)
+        trans_window = (None if sc.ratio_end_pose_trans is None
+                        else int(sc.max_iter * sc.ratio_end_pose_trans))
+        # pose_on stays open until the LAST family's window; per-dim freezing
+        # (rotation first, translation later) happens inside the optimizer
+        self.pose_window = max(rot_window, trans_window or 0)
         self.opt_obj = optim_mod.build_object_optimizer(cfg.object_train)
         self.opt_scene = optim_mod.build_scene_optimizer(sc)
-        self.opt_pose = optim_mod.build_pose_optimizer(cfg.object_train, self.pose_window)
+        self.opt_pose = optim_mod.build_pose_optimizer(cfg.object_train, rot_window,
+                                                       trans_window)
 
         self.state = TrainState(
             obj_params=obj_params,
@@ -490,6 +496,16 @@ class JointTrainer:
                 cur[new_idx - 1], depth_range=(self.data.near, self.data.far),
                 progress=min(step / cfg.scene_model.max_iter, 1.0),
                 use_fine=bool(cfg.scene_model.fine_sampling and step >= self.fine_start))
+        elif cfg.pnp.use_pnp and cfg.pnp.anchor == "object_scaled":
+            # probe anchors with one median scene/probe depth-ratio rescale
+            new_pose = pnp_mod.pnp_from_matches_scalefixed(
+                self.state.obj_params, cfg.object_model,
+                np.asarray(self.obj_matches[new_idx]), np.asarray(self.Ks[new_idx]),
+                cur[new_idx - 1], inverse_y=self.data.inverse_y,
+                near=self.data.near, far=self.data.far,
+                scene_params=self.state.scene_params, scene_cfg=cfg.scene_model,
+                progress=min(step / cfg.scene_model.max_iter, 1.0),
+                use_fine=bool(cfg.scene_model.fine_sampling and step >= self.fine_start))
         elif cfg.pnp.use_pnp:
             new_pose = pnp_mod.pnp_from_matches(
                 self.state.obj_params, cfg.object_model,
@@ -498,6 +514,7 @@ class JointTrainer:
                 near=self.data.near, far=self.data.far)
         else:
             new_pose = np.asarray(self.state.poses_pnp[new_idx])
+        self._log_activation_error(step, new_idx, cur, new_pose, "pnp")
         if cfg.camera.activation_pose_warmup > 0:
             # photometric warmup: align the new view against the current
             # scene before the joint loss sees it (cuts the PnP t-injection)
@@ -513,10 +530,38 @@ class JointTrainer:
                 progress=min(step / cfg.scene_model.max_iter, 1.0),
                 use_fine=bool(cfg.scene_model.fine_sampling
                               and step >= self.fine_start)))
+        if cfg.camera.activation_pose_warmup > 0:
+            self._log_activation_error(step, new_idx, cur, new_pose, "warmup")
         poses_pnp = np.asarray(self.state.poses_pnp).copy()
         poses_pnp[new_idx] = new_pose
         self.state.poses_pnp = jnp.asarray(poses_pnp)
         self.state.n_active += 1
+
+    def _log_activation_error(self, step, new_idx, cur, new_pose, tag) -> None:
+        """Print the activated view's RELATIVE pose error vs GT (gauge-free).
+
+        Instrumentation for the activation-injection hunt: compares the solved
+        (new ∘ prev^-1) against GT's, isolating this activation's error from
+        global gauge drift. Host-only, no effect on training."""
+        try:
+            from ..core import lie, pose as pose_ops
+
+            def rel(a, b):  # a ∘ b^{-1}
+                Ra, ta = a[:, :3], a[:, 3]
+                Rb, tb = b[:, :3], b[:, 3]
+                R = Ra @ Rb.T
+                return R, ta - R @ tb
+
+            gt = np.asarray(self.poses_gt)
+            R_s, t_s = rel(np.asarray(new_pose), cur[new_idx - 1])
+            R_g, t_g = rel(gt[new_idx], gt[new_idx - 1])
+            dR = np.degrees(float(np.asarray(lie.rotation_distance(
+                jnp.asarray(R_s)[None], jnp.asarray(R_g)[None]))[0]))
+            dt = float(np.linalg.norm(t_s - t_g)) * 100.0
+            print(f"[activate {step}] view {new_idx} ({tag}): "
+                  f"rel-pose error R {dR:.2f}deg t {dt:.2f}")
+        except Exception:
+            pass
 
     def step_once(self, rng) -> dict:
         state = self.state

@@ -61,7 +61,7 @@ def parse_args():
                    help="synthetic scene: half-width of the camera arc in "
                         "radians (default: auto, ~14deg per view pair)")
     p.add_argument("--pnp_anchor", type=str, default="",
-                   choices=["", "object", "scene"],
+                   choices=["", "object", "scene", "object_scaled"],
                    help="activation-time PnP 3D-anchor source (see PnPConfig)")
     p.add_argument("--reregister", type=float, default=0.0,
                    help="re-register all poses against scene depth at this "
@@ -69,6 +69,13 @@ def parse_args():
     p.add_argument("--pose_warmup", type=int, default=0,
                    help="photometric pose-only steps for each newly "
                         "activated view (CameraConfig.activation_pose_warmup)")
+    p.add_argument("--pose_trans_window", type=float, default=0.0,
+                   help="override SceneTrainConfig.ratio_end_pose_trans: keep "
+                        "refining pose TRANSLATION until this ratio while "
+                        "rotation freezes at --pose_window")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrink grids/rays/samples/images for CPU smoke runs "
+                        "(verify recipe; synthetic dataset only)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests; the site hook "
                         "pins JAX_PLATFORMS so an env var is not enough)")
@@ -146,6 +153,10 @@ def main():
                 cfg.scene_model, ratio_start_fine_sampling_at_x=args.fine_start),
             scene_train=dataclasses.replace(
                 cfg.scene_train, start_ratio_depth_cons=args.fine_start))
+    if args.pose_trans_window:
+        cfg = dataclasses.replace(
+            cfg, scene_train=dataclasses.replace(
+                cfg.scene_train, ratio_end_pose_trans=args.pose_trans_window))
     if args.matmul_dtype:
         cfg = dataclasses.replace(
             cfg, scene_model=dataclasses.replace(
@@ -183,6 +194,15 @@ def main():
         cfg = dataclasses.replace(
             cfg, scene_train=dataclasses.replace(
                 cfg.scene_train, sample_fraction_in_fg_mask=args.fg_fraction))
+    if args.tiny:
+        cfg = dataclasses.replace(
+            cfg,
+            object_model=dataclasses.replace(
+                cfg.object_model, num_voxels=32**3, num_voxels_base=32**3),
+            object_train=dataclasses.replace(cfg.object_train, N_rand=128),
+            scene_model=dataclasses.replace(
+                cfg.scene_model, rand_rays=128, sample_intvs=32,
+                sample_intvs_fine=32))
 
     import numpy as np
 
@@ -203,6 +223,8 @@ def main():
         loader_kwargs["n_train"] = args.n_views
     if args.arc_half and cfg.data.dataset_type == "synthetic":
         loader_kwargs["arc_half"] = args.arc_half
+    if args.tiny and cfg.data.dataset_type == "synthetic":
+        loader_kwargs["H"] = loader_kwargs["W"] = 32
     data = load_data(cfg.data, matcher_backend=args.matcher, **loader_kwargs)
     print(f"[run] {data.n_train} train views, {len(data.i_test)} test views, "
           f"{data.H}x{data.W}")

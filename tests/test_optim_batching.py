@@ -56,6 +56,32 @@ class TestObjectOptimizer:
         up, _ = opt.update(jax.tree.map(jnp.ones_like, params), opt.init(params), params)
         assert float(jnp.abs(up["se3_refine"]).sum()) == 0.0
 
+    def test_split_rot_trans_windows(self):
+        """ratio_end_pose_trans: rotation dims freeze at the rot window while
+        translation dims keep updating until the trans window."""
+        cfg = ObjectTrainConfig(lr_pose=1e-3, lr_pose_end=1e-4)
+        opt = optim.build_pose_optimizer(cfg, pose_window_steps=10,
+                                         trans_window_steps=20)
+        params = {"se3_refine": jnp.zeros((3, 6)),
+                  "se3_align_refine": jnp.zeros((1, 6))}
+        st = opt.init(params)
+        g = jax.tree.map(jnp.ones_like, params)
+        rot_mag, trans_mag = [], []
+        for _ in range(25):
+            up, st = opt.update(g, st, params)
+            rot_mag.append(float(jnp.abs(up["se3_refine"][:, :3]).sum()))
+            trans_mag.append(float(jnp.abs(up["se3_refine"][:, 3:]).sum()))
+        # inside both windows: both move
+        assert rot_mag[5] > 0 and trans_mag[5] > 0
+        # between windows: rotation frozen, translation still moving
+        assert rot_mag[15] == 0.0 and trans_mag[15] > 0
+        # past both windows: fully frozen
+        assert rot_mag[22] == 0.0 and trans_mag[22] == 0.0
+        # equal windows reduce to the single-schedule (reference) path
+        opt_eq = optim.build_pose_optimizer(cfg, 10, 10)
+        up_eq, _ = opt_eq.update(g, opt_eq.init(params), params)
+        assert float(jnp.abs(up_eq["se3_refine"]).sum()) > 0
+
     def test_scene_lr_schedule_endpoints(self):
         cfg = SceneTrainConfig(max_iter=1000, lr=5e-4, lr_end=1e-4)
         gamma = (cfg.lr_end / cfg.lr) ** (1.0 / cfg.max_iter)

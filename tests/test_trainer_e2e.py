@@ -211,6 +211,18 @@ class TestSixViews:
         for h in hist:
             assert np.isfinite(h["loss_total"])
 
+    def test_activation_object_scaled_anchor(self, scene_data):
+        """anchor='object_scaled' (probe anchors, scene-gauge median depth
+        rescale) activates views without failure and trains finitely."""
+        cfg = tiny_config(scene_data, max_iter=70, n_iters_obj=70, incremental_step=30)
+        cfg = dataclasses.replace(
+            cfg, pnp=dataclasses.replace(cfg.pnp, anchor="object_scaled"))
+        tr = JointTrainer(cfg, scene_data)
+        hist = tr.fit(70, log_every=35)
+        assert tr.state.n_active == 3
+        for h in hist:
+            assert np.isfinite(h["loss_total"])
+
     def test_six_view_incremental_activation(self):
         # 3-6 views supported (README.md:26); exercise 4 activation events
         data6 = make_synthetic_scene(n_train=6, n_test=1, H=32, W=32, seed=9)
