@@ -21,6 +21,16 @@ sys.path.insert(0, ".")
 
 def build(variant: str, small: bool):
     from bench import build_trainer
+    from poseprobe_tpu.models import object_sdf as _osdf
+
+    # undo a previous variant's monkeypatch (variants run sequentially in one
+    # process; see "no_deform")
+    if hasattr(_osdf, "_ablate_orig_render"):
+        _osdf.render = _osdf._ablate_orig_render
+    from poseprobe_tpu.losses import object as _olosses0
+
+    if hasattr(_olosses0, "_ablate_orig_losses"):
+        _olosses0.object_losses = _olosses0._ablate_orig_losses
 
     trainer = build_trainer(small=small)
     cfg = trainer.cfg
@@ -47,6 +57,32 @@ def build(variant: str, small: bool):
     elif variant == "no_fused":
         sm = dataclasses.replace(cfg.scene_model, use_fused_trunk=False)
         cfg = dataclasses.replace(cfg, scene_model=sm)
+    elif variant == "no_deform":
+        # force use_deform=False through the trainer's hardcoded call site:
+        # isolates the SIREN warp + forward-mode Jacobian cost
+        from poseprobe_tpu.losses import object as _olosses
+
+        _osdf._ablate_orig_render = _orig = _osdf.render
+        _olosses._ablate_orig_losses = _origl = _olosses.object_losses
+
+        def _render_no_deform(*a, **k):
+            k["use_deform"] = False
+            return _orig(*a, **k)
+
+        def _losses_no_deform(*a, **k):
+            k["use_deform"] = False
+            return _origl(*a, **k)
+
+        _osdf.render = _render_no_deform
+        _olosses.object_losses = _losses_no_deform
+    elif variant == "stepsize3":
+        om = dataclasses.replace(om, stepsize=3.0)  # half the ray samples
+    elif variant == "obj_rand512":
+        ot = dataclasses.replace(ot, N_rand=512)  # half the object rays
+    elif variant == "grid64":
+        om = dataclasses.replace(om, num_voxels=64**3, num_voxels_base=64**3)
+    elif variant == "no_smooth":
+        om = dataclasses.replace(om, smooth_ksize=0)
     elif variant == "maskcache":
         om = dataclasses.replace(om, use_maskcache=True, maskcache_thres=0.1,
                                  maskcache_keep=0.5)

@@ -31,6 +31,12 @@ run_job() {
   echo "[queue7] === $name done rc=$? $(date +%H:%M:%S)"
 }
 
+# P2: op-level profile of the early-phase step (object branch = 96.8 of
+# 107.8 ms per the early ablation) — runs FIRST so optimization work can
+# start while the E4 convergence runs hold the TPU.
+wait_tunnel || exit 1
+run_job profile_early timeout 3600 python benchmarks/profile_step.py --phase early --iters 8
+
 # E4a: 3-view winner recipe, 6 views
 wait_tunnel || exit 1
 run_job 6view_winner_recipe timeout 7200 python run.py --synthetic --n_views 6 \

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-3 TPU job queue #8: object-branch decomposition (the early ablation
+# showed no_object = -96.8 ms of the 107.8 ms early step — where inside?).
+set -u
+cd /root/repo
+mkdir -p logs/r3_queue
+
+for i in $(seq 1 600); do
+  grep -q "all jobs done" logs/r3_queue/queue7.log 2>/dev/null && break
+  sleep 30
+done
+
+probe() {
+  timeout 100 python -c "import jax, jax.numpy as jnp; print(jax.jit(lambda x: x.sum())(jnp.ones(8)))" > /dev/null 2>&1
+}
+wait_tunnel() {
+  for i in $(seq 1 300); do
+    if probe; then echo "[queue8] tunnel up (attempt $i, $(date +%H:%M:%S))"; return 0; fi
+    sleep 60
+  done
+  return 1
+}
+run_job() {
+  local name="$1"; shift
+  echo "[queue8] === $name start $(date +%H:%M:%S)"
+  "$@" > "logs/r3_queue/${name}.log" 2>&1
+  echo "[queue8] === $name done rc=$? $(date +%H:%M:%S)"
+}
+
+# A3: inside the object branch — deform MLP vs samples vs rays vs grid ops
+wait_tunnel || exit 1
+run_job ablate_early_obj timeout 7200 python benchmarks/ablate.py --iters 15 \
+  --phase early \
+  --variants baseline,no_deform,stepsize3,obj_rand512,grid64,no_smooth
+
+echo "[queue8] all jobs done $(date +%H:%M:%S)"
