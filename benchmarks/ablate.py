@@ -141,13 +141,18 @@ def main():
     results = {}
     base = None
     for v in variants:
-        dt = time_variant(v, args.small, args.warmup, args.iters, phase=args.phase)
+        try:
+            dt = time_variant(v, args.small, args.warmup, args.iters, phase=args.phase)
+        except Exception as e:  # keep going: one broken variant must not kill the A/B
+            print(f"{v:18s} FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            results[v] = None
+            continue
         results[v] = dt
         if v == "baseline":
             base = dt
         delta = f" ({(dt - base) * 1e3:+7.2f} ms vs base)" if base and v != "baseline" else ""
         print(f"{v:18s} {dt * 1e3:8.2f} ms/step{delta}", flush=True)
-    print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
+    print(json.dumps({k: (round(v * 1e3, 2) if v else None) for k, v in results.items()}))
 
 
 if __name__ == "__main__":

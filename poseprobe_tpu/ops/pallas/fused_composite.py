@@ -60,9 +60,17 @@ def _kernel(sdf_ref, cos_ref, mask_ref, rgb_ref, step_ref, scalars_ref,
     alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
     alpha = jnp.where(mask > 0, alpha, 0.0)
     one_minus = jnp.clip(1.0 - alpha, 1e-10, 1.0)
-    # exclusive cumulative product along S (sublane axis)
-    T = jnp.cumprod(
-        jnp.concatenate([jnp.ones_like(one_minus[:1]), one_minus[:-1]], axis=0), axis=0)
+    # Exclusive cumulative product along S (sublane axis). Mosaic has no
+    # cumprod lowering, so compute it in log space with the exclusive cumsum
+    # expressed as a strictly-lower-triangular [S, S] matmul — dot_general
+    # lowers to the MXU and beats a sequential fori_loop over sublanes.
+    log_om = jnp.log(one_minus)
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    tri = (col < row).astype(jnp.float32)
+    logT = jax.lax.dot_general(tri, log_om, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    T = jnp.exp(logT)
     weights = jnp.where(T > compositing.EARLY_TERMINATION_T, T * alpha, 0.0)
     w_ref[...] = weights
     ainv_ref[...] = (T * one_minus)[-1:]
