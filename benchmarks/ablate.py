@@ -20,8 +20,16 @@ sys.path.insert(0, ".")
 
 
 def build(variant: str, small: bool):
+    import jax
+
     from bench import build_trainer
     from poseprobe_tpu.models import object_sdf as _osdf
+
+    # PRNG impl is sticky per created key: reset to the default unless this
+    # variant asks for the fast TPU generator (threefry splits cost ~1 ms
+    # each on v5e — profiled as u32 kLoop fusions)
+    jax.config.update("jax_default_prng_impl",
+                      "unsafe_rbg" if variant == "rbg" else "threefry2x32")
 
     # undo a previous variant's monkeypatch (variants run sequentially in one
     # process; see "no_deform")
@@ -91,6 +99,8 @@ def build(variant: str, small: bool):
     elif variant == "maskcache+pallas":
         om = dataclasses.replace(om, use_maskcache=True, maskcache_thres=0.1,
                                  maskcache_keep=0.5, use_pallas_composite=True)
+    elif variant == "rbg":
+        pass  # handled above (default PRNG impl switch)
     else:
         raise ValueError(variant)
     cfg = dataclasses.replace(cfg, object_train=ot, object_model=om, scene_train=sc)

@@ -48,12 +48,13 @@ def _cdiv(a, b):
 # forward kernel
 
 
-def _fwd_kernel_factory(L: int, skip: int):
+def _fwd_kernel_factory(L: int, skip: int, H: int):
     def kernel(*refs):
         enc_ref = refs[0]
         w_refs = refs[1:1 + L]
         b_refs = refs[1 + L:1 + 2 * L]
-        out_ref = refs[1 + 2 * L]
+        feat_ref = refs[1 + 2 * L]
+        dens_ref = refs[2 + 2 * L]
 
         x = enc_ref[...]  # [T, IN_PAD] bf16
         a = x
@@ -64,9 +65,11 @@ def _fwd_kernel_factory(L: int, skip: int):
                 preferred_element_type=jnp.float32)
             pre = pre + b_refs[l][...].astype(jnp.float32)
             if l == L - 1:
-                col = jax.lax.broadcasted_iota(jnp.int32, pre.shape, 1)
-                out = jnp.where(col == 0, pre, jax.nn.relu(pre))
-                out_ref[...] = out.astype(jnp.bfloat16)
+                # last layer's padded columns are [feat(H) | density | zeros]
+                # (reordered by the wrapper), so both outputs are lane-aligned
+                # slices — no iota select, no downstream offset-1 slice copy
+                feat_ref[...] = jax.nn.relu(pre[:, :H]).astype(jnp.bfloat16)
+                dens_ref[...] = pre[:, H:]
             else:
                 a = jax.nn.relu(pre).astype(jnp.bfloat16)
 
@@ -74,15 +77,19 @@ def _fwd_kernel_factory(L: int, skip: int):
 
 
 def _trunk_fwd_call(enc, ws, bs, skip, interpret):
-    """enc [N_pad, IN_PAD] bf16; ws/bs padded bf16. Returns [N_pad, H+128] bf16."""
+    """enc [N_pad, IN_PAD] bf16; ws/bs padded bf16.
+
+    Returns (feat [N_pad, H] bf16, dens [N_pad, IN_PAD] f32 — density in
+    column 0)."""
     L = len(ws)
     H = ws[0].shape[1]
     N = enc.shape[0]
     n_tiles = N // TILE
     flops_layer = sum(2 * TILE * w.shape[0] * w.shape[1] for w in ws)
     return pl.pallas_call(
-        _fwd_kernel_factory(L, skip),
-        out_shape=jax.ShapeDtypeStruct((N, H + IN_PAD), jnp.bfloat16),
+        _fwd_kernel_factory(L, skip, H),
+        out_shape=[jax.ShapeDtypeStruct((N, H), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((N, IN_PAD), jnp.float32)],
         grid=(n_tiles,),
         in_specs=(
             [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -90,8 +97,10 @@ def _trunk_fwd_call(enc, ws, bs, skip, interpret):
                for w in ws]
             + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for b in bs]),
-        out_specs=pl.BlockSpec((TILE, H + IN_PAD), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec((TILE, H), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
         cost_estimate=pl.CostEstimate(
             flops=n_tiles * flops_layer,
             bytes_accessed=N * (IN_PAD + H + IN_PAD) * 2,
@@ -107,14 +116,15 @@ def _trunk_fwd_call(enc, ws, bs, skip, interpret):
 def _bwd_kernel_factory(L: int, skip: int, H: int):
     def kernel(*refs):
         enc_ref = refs[0]
-        g_ref = refs[1]
-        w_refs = refs[2:2 + L]
-        b_refs = refs[2 + L:2 + 2 * L]
-        denc_ref = refs[2 + 2 * L]
-        dw_refs = refs[3 + 2 * L:3 + 3 * L]
-        db_refs = refs[3 + 3 * L:3 + 4 * L]
-        acts_ref = refs[3 + 4 * L]      # [L-1, T, H] bf16 scratch (post-relu)
-        last_ref = refs[4 + 4 * L]      # [T, H+128] f32 scratch (last pre-act)
+        gf_ref = refs[1]                # [T, H] feat cotangent
+        gd_ref = refs[2]                # [T, IN_PAD] density cotangent (col 0)
+        w_refs = refs[3:3 + L]
+        b_refs = refs[3 + L:3 + 2 * L]
+        denc_ref = refs[3 + 2 * L]
+        dw_refs = refs[4 + 2 * L:4 + 3 * L]
+        db_refs = refs[4 + 3 * L:4 + 4 * L]
+        acts_ref = refs[4 + 4 * L]      # [L-1, T, H] bf16 scratch (post-relu)
+        last_ref = refs[5 + 4 * L]      # [T, H+128] f32 scratch (last pre-act)
 
         first = pl.program_id(0) == 0
 
@@ -143,10 +153,11 @@ def _bwd_kernel_factory(L: int, skip: int, H: int):
         # --- backward through the tile
         # NOTE: all relu' masks compare in f32 — v5e Mosaic rejects bf16
         # vector comparisons ("Target does not support this comparison").
-        g = g_ref[...].astype(jnp.float32)  # [T, H+128]
+        gf = gf_ref[...].astype(jnp.float32)  # [T, H]
+        gd = gd_ref[...].astype(jnp.float32)  # [T, IN_PAD]
         pre_last = last_ref[...]
-        col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-        g_pre = jnp.where(col == 0, g, jnp.where(pre_last > 0.0, g, 0.0))
+        g_pre = jnp.concatenate(
+            [jnp.where(pre_last[:, :H] > 0.0, gf, 0.0), gd], axis=1)
         for l in range(L - 1, -1, -1):
             if l == 0:
                 inp = x
@@ -178,7 +189,7 @@ def _bwd_kernel_factory(L: int, skip: int, H: int):
     return kernel
 
 
-def _trunk_bwd_call(enc, g_out, ws, bs, skip, interpret):
+def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret):
     L = len(ws)
     H = ws[0].shape[1]
     N = enc.shape[0]
@@ -200,7 +211,8 @@ def _trunk_bwd_call(enc, g_out, ws, bs, skip, interpret):
         grid=(n_tiles,),
         in_specs=(
             [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
-             pl.BlockSpec((TILE, H + IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+             pl.BlockSpec((TILE, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+             pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
             + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for w in ws]
             + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -215,7 +227,7 @@ def _trunk_bwd_call(enc, g_out, ws, bs, skip, interpret):
             bytes_accessed=N * (IN_PAD + H + IN_PAD) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(enc, g_out, *ws, *bs)
+    )(enc, g_feat, g_dens, *ws, *bs)
     denc = outs[0]
     dws = outs[1:1 + L]
     dbs = outs[1 + L:]
@@ -237,7 +249,9 @@ def _trunk_padded_fwd(enc, ws, bs, skip, interpret):
 
 def _trunk_padded_bwd(skip, interpret, res, g_out):
     enc, ws, bs = res
-    denc, dws, dbs = _trunk_bwd_call(enc, g_out.astype(jnp.bfloat16),
+    g_feat, g_dens = g_out
+    denc, dws, dbs = _trunk_bwd_call(enc, g_feat.astype(jnp.bfloat16),
+                                     g_dens.astype(jnp.bfloat16),
                                      ws, bs, skip, interpret)
     dws = [d.astype(w.dtype) for d, w in zip(dws, ws)]
     dbs = [d.astype(b.dtype) for d, b in zip(dbs, bs)]
@@ -302,12 +316,16 @@ def fused_trunk(enc: jnp.ndarray, feat_layers: list, skip: int,
         elif l == skip:
             w = jnp.pad(w, ((0, H + IN_PAD - w.shape[0]), (0, 0)))
         if l == L - 1:
+            # reorder [density | feat] -> [feat | density] so the kernel's two
+            # outputs are lane-aligned slices of the last pre-activation
+            w = jnp.concatenate([w[:, 1:], w[:, :1]], axis=1)
+            b = jnp.concatenate([b[:, 1:], b[:, :1]], axis=1)
             w = jnp.pad(w, ((0, 0), (0, H + IN_PAD - w.shape[1])))
             b = jnp.pad(b, ((0, 0), (0, H + IN_PAD - b.shape[1])))
         ws.append(w)
         bs.append(b)
 
-    out = _trunk_padded(x, ws, bs, skip, interpret)[:N]
-    raw_density = out[:, 0].astype(jnp.float32).reshape(lead)
-    feat = out[:, 1:H + 1].reshape(lead + (H,))
+    feat_out, dens_out = _trunk_padded(x, ws, bs, skip, interpret)
+    raw_density = dens_out[:N, 0].reshape(lead)
+    feat = feat_out[:N].reshape(lead + (H,))
     return raw_density, feat

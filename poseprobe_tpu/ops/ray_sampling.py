@@ -110,8 +110,13 @@ def merge_sorted_depths(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     pos_b = jnp.arange(Sb) + (av[..., None, :] <= bv[..., :, None]).sum(axis=-1)
     vals = jnp.concatenate([av, bv], axis=-1)
     pos = jnp.concatenate([pos_a, pos_b], axis=-1)
-    out = jnp.zeros_like(vals)
-    out = jnp.put_along_axis(out, pos, vals, axis=-1, inplace=False)
+    # Apply the permutation as a one-hot multiply-reduce instead of
+    # put_along_axis: the scatter lowers to a ~1.8 ms/step kernel on TPU,
+    # while this fuses into one VPU pass (pos is a permutation, so each
+    # output slot receives exactly one value).
+    k = jnp.arange(Sa + Sb)
+    out = jnp.sum(jnp.where(pos[..., :, None] == k, vals[..., :, None], 0.0),
+                  axis=-2)
     return out[..., None]
 
 
@@ -149,12 +154,24 @@ def sample_depth_from_pdf(rng: jax.Array | None, weights: jnp.ndarray, n_samples
     # The per-element binary search (vmapped jnp.searchsorted) lowers to a
     # serial while_loop per lane on TPU and cost ~19 ms/call at bench scale;
     # this O(S·Nf) compare+reduce is a single fused VPU pass (<1 ms).
-    idx = (cdf[..., :, None] <= unif[..., None, :]).sum(axis=-2)
-    depth_bin = jnp.linspace(depth_min, depth_max, n_samples_coarse + 1)
-    depth_low = depth_bin[jnp.clip(idx - 1, 0, n_samples_coarse)]
-    depth_high = depth_bin[jnp.clip(idx, 0, n_samples_coarse)]
-    cdf_low = jnp.take_along_axis(cdf, jnp.clip(idx - 1, 0, n_samples_coarse), axis=-1)
-    cdf_high = jnp.take_along_axis(cdf, jnp.clip(idx, 0, n_samples_coarse), axis=-1)
+    le = cdf[..., :, None] <= unif[..., None, :]  # [B, R, N+1, Nf]
+    idx = le.sum(axis=-2)
+    # Bin endpoints by arithmetic, not gather: depth_bin is a linspace, and a
+    # [B*R*Nf]-sized gather from it costs ~1.6 ms/call on TPU (profiled);
+    # idx*dd is free. The CDF endpoint gathers (take_along_axis) are likewise
+    # replaced with masked max/min reductions over the compare mask already
+    # computed for `idx` — cdf is per-ray ascending, so
+    # cdf[idx-1] = max{c : c <= u} and cdf[idx] = min{c : c > u} (with the
+    # out-of-range clip landing on the same degenerate bin as the gather
+    # version: depth_low == depth_high, so `t` cancels).
+    dd = (depth_max - depth_min) / n_samples_coarse
+    idxf = idx.astype(cdf.dtype)
+    depth_low = depth_min + jnp.clip(idxf - 1.0, 0.0, n_samples_coarse) * dd
+    depth_high = depth_min + jnp.clip(idxf, 0.0, n_samples_coarse) * dd
+    cdf_e = cdf[..., :, None]
+    cdf_low = jnp.max(jnp.where(le, cdf_e, 0.0), axis=-2)
+    cdf_high = jnp.min(jnp.where(le, 2.0, cdf_e), axis=-2)
+    cdf_high = jnp.minimum(cdf_high, cdf[..., -1:])  # idx == N+1: clip to last
     t = (unif - cdf_low) / (cdf_high - cdf_low + 1e-8)
     depth = depth_low + t * (depth_high - depth_low)
     return depth[..., None]

@@ -241,6 +241,32 @@ class TestFinePassSortFreePaths:
                           <= jnp.asarray(unif)[..., None, :]).sum(axis=-2))
         np.testing.assert_array_equal(got, want)
 
+    def test_pdf_resample_matches_gather_formulation(self):
+        """The gather-free interpolation (linspace arithmetic + masked max/min
+        CDF endpoints) must equal the original take_along_axis formulation."""
+        rng = np.random.RandomState(7)
+        Sc, Sf = 16, 12
+        w = jnp.asarray(rng.rand(2, 5, Sc).astype(np.float32))
+        dmin, dmax = 0.5, 6.0
+        got = np.asarray(ray_sampling.sample_depth_from_pdf(
+            jax.random.PRNGKey(4), w, Sc, Sf, dmin, dmax))[..., 0]
+
+        # reference: the pre-optimization gather-based version
+        pdf = np.asarray(w) / (np.asarray(w).sum(-1, keepdims=True) + 1e-6)
+        cdf = np.concatenate([np.zeros(pdf.shape[:-1] + (1,), np.float32),
+                              np.cumsum(pdf, -1)], -1)
+        grid = np.sort(np.asarray(jax.random.uniform(jax.random.PRNGKey(4), (Sf + 1,))))
+        unif = np.broadcast_to(0.5 * (grid[:-1] + grid[1:]), cdf.shape[:-1] + (Sf,))
+        idx = (cdf[..., :, None] <= unif[..., None, :]).sum(-2)
+        depth_bin = np.linspace(dmin, dmax, Sc + 1).astype(np.float32)
+        d_lo = depth_bin[np.clip(idx - 1, 0, Sc)]
+        d_hi = depth_bin[np.clip(idx, 0, Sc)]
+        c_lo = np.take_along_axis(cdf, np.clip(idx - 1, 0, Sc), -1)
+        c_hi = np.take_along_axis(cdf, np.clip(idx, 0, Sc), -1)
+        t = (unif - c_lo) / (c_hi - c_lo + 1e-8)
+        want = d_lo + t * (d_hi - d_lo)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
 
 class TestSeparableConv:
     def test_separable_equals_full_3d_conv(self):
