@@ -101,6 +101,8 @@ def build(variant: str, small: bool):
                                  maskcache_keep=0.5, use_pallas_composite=True)
     elif variant == "rbg":
         pass  # handled above (default PRNG impl switch)
+    elif variant == "tensorf":
+        om = dataclasses.replace(om, grid_type="tensorf")
     else:
         raise ValueError(variant)
     cfg = dataclasses.replace(cfg, object_train=ot, object_model=om, scene_train=sc)

@@ -67,6 +67,13 @@ class CameraConfig:
     # applied at activation) before joint training touches the view.
     activation_pose_warmup: int = 0
     activation_warmup_lr: float = 3e-3
+    # gate the warmup on PnP's own quality: when > 0, the warmup only runs if
+    # the PnP median reprojection error (px) exceeds this value (or PnP fell
+    # back). Instrumented runs show warmup consistently degrades already-good
+    # PnP poses (t x100 ~5 -> 20-48 at early activations, where the BARF-
+    # masked render is too blurry to align against) while rescuing bad ones
+    # (view-5 R 16.6 -> 3.8 deg). 0 = warmup always runs (legacy behavior).
+    activation_warmup_gate_px: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

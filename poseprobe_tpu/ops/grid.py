@@ -58,6 +58,13 @@ def _corner_data(grid: jnp.ndarray, xyz: jnp.ndarray, xyz_min: jnp.ndarray, xyz_
     offs = jnp.asarray([0, 1, Z, Z + 1, Y * Z, Y * Z + 1, Y * Z + Z, Y * Z + Z + 1], jnp.int32)
     idx8 = base[:, None] + offs[None, :]  # [N, 8]
     flat = grid.reshape(C, -1).T  # channels-last: contiguous [C] row reads
+    if C > 1:
+        # force a materialized row-major copy: without the barrier, XLA folds
+        # the transpose into the gather's operand layout ({0,1} column-major),
+        # turning every per-point [C] row read into C strided cache-line
+        # touches (profiled: the 12-ch k0 gather+scatter pair dominates the
+        # early-phase step). One 42 MB copy (~0.1 ms) buys contiguous rows.
+        flat = jax.lax.optimization_barrier(flat)
     vals = flat[idx8]  # [N, 8, C]
     return vals, idx8, (wx[:, None], wy[:, None], wz[:, None]), (mx[:, None], my[:, None], mz[:, None]), scale
 
@@ -116,6 +123,12 @@ def _trilinear_value_bwd(res, ct):
     # d grid: scatter W_c * ct into the 8 corners (one flat scatter)
     contrib = (W[..., None] * ct[:, None, :]).reshape(-1, C)  # [8N, C]
     d_flat = jnp.zeros((int(np.prod(gshape[1:])), C), ct.dtype).at[idx8.reshape(-1)].add(contrib)
+    if C > 1:
+        # decouple the scatter operand's layout from the transpose consumer:
+        # scattering C-wide rows into a {1,0} buffer is one contiguous window
+        # per update; the {0,1} layout XLA would pick for the transpose makes
+        # it C strided stores (43.8 ms vs ~7 ms profiled at 925k x 12ch)
+        d_flat = jax.lax.optimization_barrier(d_flat)
     d_grid = d_flat.T.reshape(gshape)
     # d pts: sum_c sign_axis * (bilinear weights of other axes) * vals . ct
     wx, wy, wz = w
@@ -333,6 +346,8 @@ def _trilinear_vg_bwd(res, cts):
     )  # [N, 8, C]
     d_flat = jnp.zeros((int(np.prod(gshape[1:])), C), ct_v.dtype).at[idx8.reshape(-1)].add(
         contrib.reshape(-1, C))
+    if C > 1:
+        d_flat = jax.lax.optimization_barrier(d_flat)  # see _trilinear_value_bwd
     d_grid = d_flat.T.reshape(gshape)
 
     # --- d pts: differentiate the coefficient matrices w.r.t. wx/wy/wz ---

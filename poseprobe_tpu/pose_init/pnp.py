@@ -127,7 +127,15 @@ def pnp_from_matches_scalefixed(
 
 def solve_pnp(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
               prev_pose_w2c: np.ndarray) -> np.ndarray:
-    """PnP-RANSAC + LM refine with a previous-pose sanity fallback."""
+    """PnP-RANSAC + LM refine with a previous-pose sanity fallback.
+
+    Stashes a quality diagnostic in module-level `LAST_QUALITY`
+    (host-only, single-threaded): median reprojection error (px) of the
+    returned pose over ALL anchor points, point count, and whether a
+    fallback path fired. The trainer reads it to decide whether the pose
+    needs a photometric warmup rescue (good PnP poses are measurably
+    degraded by warming up against a blurry early-BARF render)."""
+    global LAST_QUALITY
     if _HAS_CV2:
         K64 = K.astype(np.float64)
         dist = np.zeros((4, 1))
@@ -135,6 +143,8 @@ def solve_pnp(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
                                                      reprojectionError=4.0,
                                                      iterationsCount=300)
         if not ok:
+            LAST_QUALITY = {"med_reproj_px": float("inf"),
+                            "n_pts": len(world_pts), "fallback": True}
             return prev_pose_w2c.copy()
         # LM refinement on the inliers: surface anchors sit on 1-2 probe faces
         # (near-planar), where raw RANSAC-P3P solutions can be unstable
@@ -151,9 +161,21 @@ def solve_pnp(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
         # previous pose, keep the previous pose (robust chain behavior)
         if _median_reproj_err(pose, world_pts, img_pts, K) > \
                 _median_reproj_err(prev_pose_w2c, world_pts, img_pts, K):
+            LAST_QUALITY = {"med_reproj_px": _median_reproj_err(prev_pose_w2c, world_pts, img_pts, K),
+                            "n_pts": len(world_pts), "fallback": True}
             return prev_pose_w2c.copy()
+        LAST_QUALITY = {"med_reproj_px": _median_reproj_err(pose, world_pts, img_pts, K),
+                        "n_pts": len(world_pts), "fallback": False}
         return pose
-    return _pnp_ransac_numpy(world_pts, img_pts, K, prev_pose_w2c)
+    pose = _pnp_ransac_numpy(world_pts, img_pts, K, prev_pose_w2c)
+    LAST_QUALITY = {"med_reproj_px": _median_reproj_err(pose, world_pts, img_pts, K),
+                    "n_pts": len(world_pts), "fallback": False}
+    return pose
+
+
+#: quality of the most recent `solve_pnp` call (see its docstring); None when
+#: the caller bailed out before reaching RANSAC (too few valid matches)
+LAST_QUALITY: dict | None = None
 
 
 def pnp_from_scene_depth(

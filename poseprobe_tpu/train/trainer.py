@@ -188,6 +188,12 @@ class JointTrainer:
             obj_p, scene_p, pose_p = trainable
             current_pose = pose_refine.current_pose_pnp(pose_p, poses_pnp,
                                                         fix_first=fix_first)
+            if not pose_on:
+                # pose window closed (the whole fine phase): the pose update is
+                # skipped anyway, so cut the gradient chain at the poses and
+                # let XLA dead-code-eliminate the ray-position -> encoding
+                # backward (otherwise computed and thrown away every step)
+                current_pose = jax.lax.stop_gradient(current_pose)
             metrics: dict[str, Any] = {}
             total = 0.0
 
@@ -484,6 +490,7 @@ class JointTrainer:
             return
         new_idx = self.state.n_active  # next train view
         cur = np.asarray(self.current_pose())
+        pnp_mod.LAST_QUALITY = None  # refreshed by solve_pnp below
         if cfg.pnp.use_identical:
             new_pose = cur[new_idx - 1]
         elif cfg.pnp.use_pnp and cfg.pnp.anchor == "scene":
@@ -514,8 +521,20 @@ class JointTrainer:
                 near=self.data.near, far=self.data.far)
         else:
             new_pose = np.asarray(self.state.poses_pnp[new_idx])
-        self._log_activation_error(step, new_idx, cur, new_pose, "pnp")
-        if cfg.camera.activation_pose_warmup > 0:
+        q = pnp_mod.LAST_QUALITY
+        qtag = (f"pnp med_reproj {q['med_reproj_px']:.1f}px n {q['n_pts']}"
+                f"{' FALLBACK' if q.get('fallback') else ''}") if q else "pnp (no-ransac)"
+        self._log_activation_error(step, new_idx, cur, new_pose, qtag)
+        # warmup gate: a PnP pose that already reprojects tightly is better
+        # than anything a blurry early-BARF render can align (see config)
+        gate = cfg.camera.activation_warmup_gate_px
+        do_warmup = cfg.camera.activation_pose_warmup > 0
+        if do_warmup and gate > 0 and q is not None and not q.get("fallback", False) \
+                and q["med_reproj_px"] <= gate:
+            print(f"[activate {step}] view {new_idx}: warmup skipped "
+                  f"(PnP med reproj {q['med_reproj_px']:.1f}px <= gate {gate:g}px)")
+            do_warmup = False
+        if do_warmup:
             # photometric warmup: align the new view against the current
             # scene before the joint loss sees it (cuts the PnP t-injection)
             from ..eval import evaluator
@@ -530,7 +549,7 @@ class JointTrainer:
                 progress=min(step / cfg.scene_model.max_iter, 1.0),
                 use_fine=bool(cfg.scene_model.fine_sampling
                               and step >= self.fine_start)))
-        if cfg.camera.activation_pose_warmup > 0:
+        if do_warmup:
             self._log_activation_error(step, new_idx, cur, new_pose, "warmup")
         poses_pnp = np.asarray(self.state.poses_pnp).copy()
         poses_pnp[new_idx] = new_pose

@@ -69,6 +69,9 @@ def parse_args():
     p.add_argument("--pose_warmup", type=int, default=0,
                    help="photometric pose-only steps for each newly "
                         "activated view (CameraConfig.activation_pose_warmup)")
+    p.add_argument("--warmup_gate", type=float, default=0.0,
+                   help="skip the warmup when PnP median reprojection error "
+                        "<= this many px (CameraConfig.activation_warmup_gate_px)")
     p.add_argument("--pose_trans_window", type=float, default=0.0,
                    help="override SceneTrainConfig.ratio_end_pose_trans: keep "
                         "refining pose TRANSLATION until this ratio while "
@@ -174,6 +177,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,
                                             activation_pose_warmup=args.pose_warmup))
+    if args.warmup_gate:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(cfg.camera,
+                                            activation_warmup_gate_px=args.warmup_gate))
     if args.incremental_step:
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,
