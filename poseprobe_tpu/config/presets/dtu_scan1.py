@@ -29,6 +29,10 @@ def get_config(datadir: str = "./data/DTU/scan1") -> cfg_mod.ExperimentConfig:
             s_ratio=50.0, s_start=0.2, stepsize=1.5,
             barf_c2f=(0.6, 1.0), N_iters=10000,
             smooth_ksize=0, smooth_sigma=0.8, world_bound_scale=1.5,
+            # free-space skipping (reference MaskCache, `lib/grid.py:212-245` /
+            # `render_utils_kernel.cu:374-424`): measured -41 ms/step on the
+            # object-active phase (logs/r3_queue/ablate_early_pallas.log)
+            use_maskcache=True, maskcache_thres=0.1, maskcache_keep=0.5,
         ),
         object_train=cfg_mod.ObjectTrainConfig(
             N_iters=10000, N_rand=1024, lrate_decay=10,
