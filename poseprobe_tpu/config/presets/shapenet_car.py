@@ -56,6 +56,7 @@ def get_config(datadir: str = "./data/scene_with_shape/02958343") -> cfg_mod.Exp
             barf_c2f=(0.4, 0.7), sample_intvs=128, sample_intvs_fine=128,
             fine_sampling=True, depth_param="metric", rand_rays=1024,
             max_iter=60000, ratio_start_fine_sampling_at_x=0.3,
+            matmul_dtype="bfloat16",
         ),
         scene_train=cfg_mod.SceneTrainConfig(
             max_iter=60000, lr=5e-4, lr_end=1e-4, lr_pose=1e-3, lr_pose_end=1e-4,
