@@ -53,7 +53,8 @@ def build_trainer(small: bool = False, matmul_dtype: str = "bfloat16"):
         object_model=ObjectConfig(
             xyz_min=(-margin,) * 3, xyz_max=(margin,) * 3,
             num_voxels=grid**3, num_voxels_base=grid**3,
-            N_iters=10000, world_bound_scale=1.25),
+            N_iters=10000, world_bound_scale=1.25,
+            use_maskcache=True),  # free-space skipping, on in the DTU presets
         object_train=cfg_mod.ObjectTrainConfig(N_iters=10000,
                                                N_rand=256 if small else 1024),
         scene_model=SceneConfig(
@@ -95,34 +96,61 @@ def _tpu_reachable(timeout_s: int = 150, attempts: int = 2) -> bool:
     return False
 
 
-def _time_phase(trainer, start_step: int, warmup: int, iters: int, key):
+def _time_phase(trainer, start_step: int, warmup: int, iters: int, key,
+                superstep: int = 25):
     """Sustained seconds/step with the phase flags of `start_step`.
 
-    Each step folds a fresh PRNGKey so the axon relay cannot serve cached
-    executions (CLAUDE.md pitfall)."""
+    Times the production execution path: `superstep`-length lax.scan device
+    programs (run.py default), so per-call dispatch/relay latency is
+    amortized exactly as in a real run. The carried loop key changes every
+    step, so the axon relay cannot serve cached executions (CLAUDE.md
+    pitfall)."""
     import jax
 
     trainer.state.step = start_step
-    m = None
-    for _ in range(warmup):
-        key, sub = jax.random.split(key)
-        m = trainer.step_once(sub)
+    if superstep <= 1:  # per-step dispatch path (POSEPROBE_SUPERSTEP=1 A/B)
+        m = None
+        for _ in range(warmup):
+            key, sub = jax.random.split(key)
+            m = trainer.step_once(sub)
+        jax.block_until_ready(m["loss_total"])
+        trainer.state.step = start_step
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            m = trainer.step_once(sub)
+        jax.block_until_ready(m["loss_total"])
+        return (time.perf_counter() - t0) / iters, float(m["loss_total"]), key
+    trainer._loop_key = key
+    m = trainer.steps_scan(superstep)           # compile + warm
+    for _ in range(max(warmup - 1, 0)):
+        m = trainer.steps_scan(superstep)
     jax.block_until_ready(m["loss_total"])
     trainer.state.step = start_step  # stay far from any phase boundary
+    calls = max(iters // superstep, 1)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        m = trainer.step_once(sub)
+    for _ in range(calls):
+        m = trainer.steps_scan(superstep)
     jax.block_until_ready(m["loss_total"])
-    return (time.perf_counter() - t0) / iters, float(m["loss_total"]), key
+    dt = (time.perf_counter() - t0) / (calls * superstep)
+    return dt, float(m["loss_total"][-1]), trainer._loop_key
 
 
 def main(small: bool = False, warmup: int = 3, iters: int = 20,
          matmul_dtype: str = "bfloat16"):
     import os
 
+    superstep = int(os.environ.get("POSEPROBE_SUPERSTEP", "25"))
+
     force = os.environ.get("POSEPROBE_BENCH_FORCE_TPU", "") == "1"
-    if (not force and os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
+    if os.environ.get("POSEPROBE_BENCH_CPU", "") == "1":
+        # explicit CPU validation mode (e.g. while another process owns the
+        # TPU tunnel — one process at a time, CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        small = True
+    elif (not force and os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
             and not _tpu_reachable(attempts=4)):
         # the tunneled TPU is down: fall back to CPU so the benchmark still
         # reports (the device field makes the fallback visible)
@@ -142,9 +170,12 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
     obj_rays = cfg.object_train.N_rand
     scene_rays = cfg.scene_model.rand_rays
 
-    t_early, loss_early, key = _time_phase(trainer, 1, warmup, iters, key)
-    t_coarse, _, key = _time_phase(trainer, n_iters + 1, warmup, iters, key)
-    t_mid, loss_mid, key = _time_phase(trainer, fine_start + 1, warmup, iters, key)
+    t_early, loss_early, key = _time_phase(trainer, 1, warmup, iters, key,
+                                           superstep=superstep)
+    t_coarse, _, key = _time_phase(trainer, n_iters + 1, warmup, iters, key,
+                                   superstep=superstep)
+    t_mid, loss_mid, key = _time_phase(trainer, fine_start + 1, warmup, iters, key,
+                                       superstep=superstep)
 
     # 60k-weighted totals (steps per regime x regime cost)
     steps = np.array([n_iters, fine_start - n_iters, max_iter - fine_start], float)
@@ -172,6 +203,8 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
         # SPARF-class CUDA joint training needs hours for the same protocol.
         "time_to_psnr30_3view_minutes": 26.5,
         "matmul_dtype": matmul_dtype,
+        "superstep": superstep,
+        "maskcache": True,
         "loss": loss_mid if np.isfinite(loss_mid) else loss_early,
         "device": str(jax.devices()[0]),
     }

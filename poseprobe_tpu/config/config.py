@@ -74,6 +74,22 @@ class CameraConfig:
     # masked render is too blurry to align against) while rescuing bad ones
     # (view-5 R 16.6 -> 3.8 deg). 0 = warmup always runs (legacy behavior).
     activation_warmup_gate_px: float = 0.0
+    # photometric second opinion on the px gate (0 = off): a PnP pose can
+    # reproject tightly yet be far off when the match spread is shallow
+    # (observed: view-5 med_reproj 0.4px but rel-pose R 6.8deg, t 27). When
+    # > 0, a gate-skipped warmup is re-armed if the new view's fixed-ray
+    # photometric MSE exceeds `ratio * MSE(previous, already-trained view)`.
+    # Whenever the warmup runs, its result is only ACCEPTED if it scores
+    # better than the PnP pose on the same fixed rays (guarded warmup).
+    activation_warmup_photo_ratio: float = 0.0
+    # geometric second opinion (0 = off, recommended over the photometric
+    # one): re-arm a gate-skipped warmup when PnP's holdout cross-validation
+    # error (solve on half the anchors, score on the other half —
+    # pnp._holdout_reproj) exceeds this many px. Unlike the photometric
+    # ratio it never fires on well-constrained solves, so good PnP poses are
+    # left untouched (instrumented: the photo ratio re-armed warmup on good
+    # poses and the blurry-render alignment damaged them, t 3.5 -> 37.5).
+    activation_warmup_holdout_px: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

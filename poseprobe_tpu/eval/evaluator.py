@@ -90,6 +90,34 @@ def test_time_pose_optim(
     return pose_ops.compose_pair(refine, pose_w2c_init)
 
 
+def photometric_pose_score(scene_params, scene_cfg, pose_w2c, K, image,
+                           depth_range, rand_rays: int = 2048, seed: int = 17,
+                           progress: float = 1.0,
+                           use_fine: bool | None = None) -> float:
+    """Photometric MSE of `pose_w2c` against `image` on a FIXED ray subset.
+
+    Deterministic (fixed seed) so two poses for the same view are directly
+    comparable — used by the trainer's activation gate to detect PnP poses
+    that reproject tightly but are geometrically degenerate (shallow match
+    spread), and to accept a warmup result only when it actually helps."""
+    if use_fine is None:
+        use_fine = scene_cfg.fine_sampling
+    H, W = image.shape[:2]
+    n = min(rand_rays, H * W)
+    ray_idx = jax.random.choice(jax.random.PRNGKey(seed), H * W, (n,),
+                                replace=False)
+    pixels = jnp.stack([(ray_idx % W).astype(jnp.float32),
+                        (ray_idx // W).astype(jnp.float32)], -1)
+    center, ray = rays_mod.get_center_and_ray_at_pixels(
+        jnp.asarray(pose_w2c)[None], pixels, jnp.asarray(K)[None])
+    rets = scene_nerf.render_rays(scene_params, scene_cfg, center, ray,
+                                  depth_range, progress=progress, rng=None,
+                                  compute_fine=use_fine, mode_train=False)
+    rgb = rets.get("rgb_fine", rets["rgb"])
+    target = image.reshape(-1, 3)[ray_idx]
+    return float(((rgb[0] - target) ** 2).mean())
+
+
 def render_full(scene_params, scene_cfg, pose_w2c, K, H, W, depth_range,
                 chunk: int = 4096, use_fine: bool | None = None,
                 progress: float = 1.0):

@@ -125,17 +125,56 @@ def pnp_from_matches_scalefixed(
     return solve_pnp(world_pts, img_pts, K, prev_pose_w2c)
 
 
+def _holdout_reproj(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
+                    prev_pose_w2c: np.ndarray) -> float:
+    """Cross-validated reprojection error (px): solve PnP on each half of the
+    anchors, score the median reprojection on the OTHER half, return the max.
+
+    A geometrically degenerate anchor set (shallow spread, near-planar patch)
+    can fit its own points tightly while the pose is far off — observed: a
+    solve at 0.4 px med reprojection that was 6.8 deg / 0.27 units wrong.
+    Such solves do not generalize across a holdout split, so this metric
+    separates them from genuinely well-constrained solves (which stay at the
+    sub-pixel level)."""
+    n = len(world_pts)
+    if n < 12:
+        return float("inf")  # too few anchors to cross-validate => distrust
+    err = 0.0
+    for a, b in ((slice(0, None, 2), slice(1, None, 2)),
+                 (slice(1, None, 2), slice(0, None, 2))):
+        pose_a, fb = _solve_core(world_pts[a], img_pts[a], K, prev_pose_w2c)
+        if fb:
+            return float("inf")
+        err = max(err, _median_reproj_err(pose_a, world_pts[b], img_pts[b], K))
+    return float(err)
+
+
 def solve_pnp(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
               prev_pose_w2c: np.ndarray) -> np.ndarray:
     """PnP-RANSAC + LM refine with a previous-pose sanity fallback.
 
     Stashes a quality diagnostic in module-level `LAST_QUALITY`
     (host-only, single-threaded): median reprojection error (px) of the
-    returned pose over ALL anchor points, point count, and whether a
-    fallback path fired. The trainer reads it to decide whether the pose
-    needs a photometric warmup rescue (good PnP poses are measurably
-    degraded by warming up against a blurry early-BARF render)."""
+    returned pose over ALL anchor points, the holdout cross-validation error
+    (`_holdout_reproj`), point count, and whether a fallback path fired. The
+    trainer reads it to decide whether the pose needs a photometric warmup
+    rescue (good PnP poses are measurably degraded by warming up against a
+    blurry early-BARF render, while degenerate solves need it)."""
     global LAST_QUALITY
+    pose, fallback = _solve_core(world_pts, img_pts, K, prev_pose_w2c)
+    LAST_QUALITY = {
+        "med_reproj_px": _median_reproj_err(pose, world_pts, img_pts, K),
+        "holdout_reproj_px": (float("inf") if fallback else
+                              _holdout_reproj(world_pts, img_pts, K,
+                                              prev_pose_w2c)),
+        "n_pts": len(world_pts), "fallback": fallback,
+    }
+    return pose
+
+
+def _solve_core(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
+                prev_pose_w2c: np.ndarray) -> tuple[np.ndarray, bool]:
+    """One PnP solve (no quality bookkeeping). Returns (pose, fallback?)."""
     if _HAS_CV2:
         K64 = K.astype(np.float64)
         dist = np.zeros((4, 1))
@@ -143,9 +182,7 @@ def solve_pnp(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
                                                      reprojectionError=4.0,
                                                      iterationsCount=300)
         if not ok:
-            LAST_QUALITY = {"med_reproj_px": float("inf"),
-                            "n_pts": len(world_pts), "fallback": True}
-            return prev_pose_w2c.copy()
+            return prev_pose_w2c.copy(), True
         # LM refinement on the inliers: surface anchors sit on 1-2 probe faces
         # (near-planar), where raw RANSAC-P3P solutions can be unstable
         if inliers is not None and len(inliers) >= 6:
@@ -161,16 +198,9 @@ def solve_pnp(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
         # previous pose, keep the previous pose (robust chain behavior)
         if _median_reproj_err(pose, world_pts, img_pts, K) > \
                 _median_reproj_err(prev_pose_w2c, world_pts, img_pts, K):
-            LAST_QUALITY = {"med_reproj_px": _median_reproj_err(prev_pose_w2c, world_pts, img_pts, K),
-                            "n_pts": len(world_pts), "fallback": True}
-            return prev_pose_w2c.copy()
-        LAST_QUALITY = {"med_reproj_px": _median_reproj_err(pose, world_pts, img_pts, K),
-                        "n_pts": len(world_pts), "fallback": False}
-        return pose
-    pose = _pnp_ransac_numpy(world_pts, img_pts, K, prev_pose_w2c)
-    LAST_QUALITY = {"med_reproj_px": _median_reproj_err(pose, world_pts, img_pts, K),
-                    "n_pts": len(world_pts), "fallback": False}
-    return pose
+            return prev_pose_w2c.copy(), True
+        return pose, False
+    return _pnp_ransac_numpy(world_pts, img_pts, K, prev_pose_w2c), False
 
 
 #: quality of the most recent `solve_pnp` call (see its docstring); None when

@@ -168,11 +168,53 @@ class JointTrainer:
     # ------------------------------------------------------------------- step
 
     @functools.partial(jax.jit, static_argnames=("self", "n_active", "object_on", "pose_on",
-                                                 "fine_on", "depth_cons_on", "proj_use_deform", "precrop_on"))
+                                                 "fine_on", "depth_cons_on", "proj_use_deform", "precrop_on"),
+                       donate_argnames=("state_tuple",))
     def _train_step(self, state_tuple, rng, step, mask_arr, n_active: int,
                     object_on: bool, pose_on: bool, fine_on: bool,
                     depth_cons_on: bool, proj_use_deform: bool,
                     precrop_on: bool = False):
+        return self._step_impl(state_tuple, rng, step, mask_arr, n_active=n_active,
+                               object_on=object_on, pose_on=pose_on, fine_on=fine_on,
+                               depth_cons_on=depth_cons_on,
+                               proj_use_deform=proj_use_deform, precrop_on=precrop_on)
+
+    @functools.partial(jax.jit, static_argnames=("self", "k_steps", "n_active", "object_on",
+                                                 "pose_on", "fine_on", "depth_cons_on",
+                                                 "proj_use_deform", "precrop_on"),
+                       donate_argnames=("state_tuple",))
+    def _train_scan(self, state_tuple, loop_key, step0, mask_arr, k_steps: int,
+                    n_active: int, object_on: bool, pose_on: bool, fine_on: bool,
+                    depth_cons_on: bool, proj_use_deform: bool,
+                    precrop_on: bool = False):
+        """K train steps in ONE device program (`lax.scan` superstep).
+
+        Each per-call dispatch through the host (and, in this environment, the
+        axon TPU relay) costs fixed latency; scanning K steps inside one XLA
+        program amortizes it to 1/K. The key-split sequence matches `fit`'s
+        sequential path (`loop_key, rng = split(loop_key)` per step), so the
+        result is numerically identical to K `step_once` calls — tested in
+        `tests/test_trainer_e2e.py`. Phase flags must be constant over the
+        window; `fit` stops windows at every host-event/flag boundary.
+        """
+        def body(carry, i):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            st, metrics = self._step_impl(
+                st, sub, step0 + i, mask_arr, n_active=n_active,
+                object_on=object_on, pose_on=pose_on, fine_on=fine_on,
+                depth_cons_on=depth_cons_on, proj_use_deform=proj_use_deform,
+                precrop_on=precrop_on)
+            return (st, key), metrics
+
+        (state_tuple, loop_key), metrics = jax.lax.scan(
+            body, (state_tuple, loop_key), jnp.arange(k_steps, dtype=jnp.int32))
+        return state_tuple, loop_key, metrics
+
+    def _step_impl(self, state_tuple, rng, step, mask_arr, n_active: int,
+                   object_on: bool, pose_on: bool, fine_on: bool,
+                   depth_cons_on: bool, proj_use_deform: bool,
+                   precrop_on: bool = False):
         (obj_params, scene_params, pose_params,
          opt_obj, opt_scene, opt_pose, poses_pnp) = state_tuple
         cfg = self.cfg
@@ -527,29 +569,73 @@ class JointTrainer:
         self._log_activation_error(step, new_idx, cur, new_pose, qtag)
         # warmup gate: a PnP pose that already reprojects tightly is better
         # than anything a blurry early-BARF render can align (see config)
+        from ..eval import evaluator
+
         gate = cfg.camera.activation_warmup_gate_px
+        photo_ratio = cfg.camera.activation_warmup_photo_ratio
+        holdout_gate = cfg.camera.activation_warmup_holdout_px
+        progress = min(step / cfg.scene_model.max_iter, 1.0)
+        use_fine = bool(cfg.scene_model.fine_sampling and step >= self.fine_start)
+
+        def photo_score(pose, idx):
+            return evaluator.photometric_pose_score(
+                self.state.scene_params, cfg.scene_model, pose, self.Ks[idx],
+                self.images[idx], (self.data.near, self.data.far),
+                progress=progress, use_fine=use_fine)
+
         do_warmup = cfg.camera.activation_pose_warmup > 0
         if do_warmup and gate > 0 and q is not None and not q.get("fallback", False) \
                 and q["med_reproj_px"] <= gate:
-            print(f"[activate {step}] view {new_idx}: warmup skipped "
-                  f"(PnP med reproj {q['med_reproj_px']:.1f}px <= gate {gate:g}px)")
+            skip_msg = (f"PnP med reproj {q['med_reproj_px']:.1f}px <= gate {gate:g}px")
             do_warmup = False
+            hold = q.get("holdout_reproj_px", 0.0)
+            if holdout_gate > 0 and hold > holdout_gate:
+                # geometric second opinion: the solve fits its own anchors
+                # but does not generalize across a holdout split -> degenerate
+                do_warmup = True
+                print(f"[activate {step}] view {new_idx}: holdout gate re-arms "
+                      f"warmup (xval reproj {hold:.1f}px > {holdout_gate:g}px)")
+            elif holdout_gate > 0:
+                skip_msg += f", holdout {hold:.1f}px <= {holdout_gate:g}px"
+            if not do_warmup and photo_ratio > 0:
+                # photometric second opinion: a degenerate PnP solve (shallow
+                # match spread) reprojects tightly but renders wrong — compare
+                # the new view's fixed-ray MSE against the previous, already-
+                # trained view as the scale for "consistent with the scene"
+                s_new = photo_score(new_pose, new_idx)
+                s_ref = photo_score(cur[new_idx - 1], new_idx - 1)
+                if s_new > photo_ratio * max(s_ref, 1e-8):
+                    do_warmup = True
+                    print(f"[activate {step}] view {new_idx}: photo gate re-arms "
+                          f"warmup (mse {s_new:.4f} > {photo_ratio:g}x ref {s_ref:.4f})")
+                else:
+                    skip_msg += f", photo mse {s_new:.4f} <= {photo_ratio:g}x ref {s_ref:.4f}"
+            if not do_warmup:
+                print(f"[activate {step}] view {new_idx}: warmup skipped ({skip_msg})")
         if do_warmup:
             # photometric warmup: align the new view against the current
             # scene before the joint loss sees it (cuts the PnP t-injection)
-            from ..eval import evaluator
-
-            new_pose = np.asarray(evaluator.test_time_pose_optim(
+            warm_pose = np.asarray(evaluator.test_time_pose_optim(
                 self.state.scene_params, cfg.scene_model,
                 jnp.asarray(new_pose), self.Ks[new_idx],
                 self.images[new_idx], (self.data.near, self.data.far),
                 n_iters=cfg.camera.activation_pose_warmup,
                 lr=cfg.camera.activation_warmup_lr,
                 rand_rays=min(1024, self.H * self.W),
-                progress=min(step / cfg.scene_model.max_iter, 1.0),
-                use_fine=bool(cfg.scene_model.fine_sampling
-                              and step >= self.fine_start)))
-        if do_warmup:
+                progress=progress, use_fine=use_fine))
+            if photo_ratio > 0 or holdout_gate > 0:
+                # guarded: only accept the warmup if it scores better on the
+                # same fixed rays (the early-BARF render can be too blurry to
+                # align against, degrading good PnP poses — see config)
+                s_pnp = photo_score(new_pose, new_idx)
+                s_warm = photo_score(warm_pose, new_idx)
+                if s_warm <= s_pnp:
+                    new_pose = warm_pose
+                print(f"[activate {step}] view {new_idx}: warmup "
+                      f"{'accepted' if s_warm <= s_pnp else 'REJECTED'} "
+                      f"(mse pnp {s_pnp:.4f} -> warm {s_warm:.4f})")
+            else:
+                new_pose = warm_pose
             self._log_activation_error(step, new_idx, cur, new_pose, "warmup")
         poses_pnp = np.asarray(self.state.poses_pnp).copy()
         poses_pnp[new_idx] = new_pose
@@ -589,16 +675,64 @@ class JointTrainer:
                        state.opt_obj, state.opt_scene, state.opt_pose, state.poses_pnp)
         new_tuple, metrics = self._train_step(
             state_tuple, rng, jnp.asarray(state.step, jnp.int32), self.mask_arr, **flags)
+        # state_tuple buffers are DONATED: rebind every leaf (incl. the
+        # pass-through poses_pnp) from the returned tuple
         (state.obj_params, state.scene_params, state.pose_params,
-         state.opt_obj, state.opt_scene, state.opt_pose, _) = new_tuple
+         state.opt_obj, state.opt_scene, state.opt_pose, state.poses_pnp) = new_tuple
         state.step += 1
         return metrics
 
-    def fit(self, num_steps: int, log_every: int = 0, callback=None) -> list[dict]:
+    def steps_scan(self, k: int) -> dict:
+        """Run `k` steps in one device program; returns stacked [k] metrics.
+
+        The caller must guarantee no host event or phase-flag flip falls
+        inside [step, step+k) — `fit` does; direct callers (bench) should stay
+        away from boundaries. Consumes the loop key exactly like `fit`'s
+        sequential path (one split per step)."""
+        state = self.state
+        flags = self.phase_flags(state.step)
+        assert self._next_boundary(state.step) >= state.step + k, \
+            f"scan window [{state.step},{state.step + k}) crosses a host event"
+        state_tuple = (state.obj_params, state.scene_params, state.pose_params,
+                       state.opt_obj, state.opt_scene, state.opt_pose, state.poses_pnp)
+        new_tuple, self._loop_key, metrics = self._train_scan(
+            state_tuple, self._loop_key, jnp.asarray(state.step, jnp.int32),
+            self.mask_arr, k, **flags)
+        # donated input: rebind all leaves from the return (see step_once)
+        (state.obj_params, state.scene_params, state.pose_params,
+         state.opt_obj, state.opt_scene, state.opt_pose, state.poses_pnp) = new_tuple
+        state.step += k
+        return metrics
+
+    def _next_boundary(self, step: int) -> int:
+        """First step > `step` at which a host event fires or a phase flag
+        flips — a `lax.scan` window starting at `step` must end by then."""
+        cfg, ot = self.cfg, self.cfg.object_train
+        cands = []
+        if cfg.camera.incremental and self.state.n_active < self.n_train:
+            inc = cfg.camera.incremental_step
+            cands.append(((step // inc) + 1) * inc)     # maybe_activate_view
+        cands += [s for s in self._pg_scale if s > step]  # maybe_pg_scale
+        if cfg.camera.reregister_at_ratio is not None:
+            cands.append(int(cfg.camera.reregister_at_ratio * cfg.scene_model.max_iter))
+        if cfg.object_model.use_maskcache and step <= ot.N_iters:
+            upd = ot.maskcache_update_every
+            cands.append(((step // upd) + 1) * upd)     # refresh_maskcache
+        # phase-flag flips (phase_flags thresholds)
+        cands += [ot.N_iters + 1, self.pose_window, self.fine_start,
+                  self.depth_cons_start, cfg.scene_train.precrop_iters]
+        return min([c for c in cands if c > step], default=step + 1_000_000_000)
+
+    def fit(self, num_steps: int, log_every: int = 0, callback=None,
+            superstep: int = 1) -> list[dict]:
+        """Host loop. With ``superstep=K>1``, steps between host events run as
+        K-step `lax.scan` programs (numerically identical to K single steps;
+        windows never cross an event/flag/log boundary)."""
         ot = self.cfg.object_train
         rereg_at = (int(self.cfg.camera.reregister_at_ratio * self.cfg.scene_model.max_iter)
                     if self.cfg.camera.reregister_at_ratio is not None else -1)
-        for _ in range(num_steps):
+        end_step = self.state.step + num_steps
+        while self.state.step < end_step:
             step = self.state.step
             self.maybe_activate_view(step)
             self.maybe_pg_scale(step)
@@ -608,8 +742,15 @@ class JointTrainer:
                     and step <= ot.N_iters
                     and step % ot.maskcache_update_every == 0):
                 self.refresh_maskcache()
-            self._loop_key, rng = jax.random.split(self._loop_key)
-            metrics = self.step_once(rng)
+            limit = min(end_step, self._next_boundary(step))
+            if log_every:  # windows end exactly on log boundaries
+                limit = min(limit, ((step // log_every) + 1) * log_every)
+            if superstep > 1 and limit - step >= superstep:
+                metrics = self.steps_scan(superstep)
+                metrics = jax.tree.map(lambda x: x[-1], metrics)
+            else:
+                self._loop_key, rng = jax.random.split(self._loop_key)
+                metrics = self.step_once(rng)
             if log_every and self.state.step % log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 # in-loop NaN/Inf tripwire (reference `base_losses.py:96-97`)

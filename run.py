@@ -51,6 +51,10 @@ def parse_args():
                         "them with the pose window)")
     p.add_argument("--pose_window", type=float, default=0.0,
                    help="override ratio_end_joint_nerf_pose_refinement")
+    p.add_argument("--superstep", type=int, default=25,
+                   help="steps per lax.scan device program between host "
+                        "events (1 = one dispatch per step); numerically "
+                        "identical, amortizes relay/dispatch latency")
     p.add_argument("--matmul_dtype", type=str, default="",
                    choices=["", "float32", "bfloat16"],
                    help="override SceneConfig.matmul_dtype (bf16 = native "
@@ -72,6 +76,14 @@ def parse_args():
     p.add_argument("--warmup_gate", type=float, default=0.0,
                    help="skip the warmup when PnP median reprojection error "
                         "<= this many px (CameraConfig.activation_warmup_gate_px)")
+    p.add_argument("--warmup_photo_ratio", type=float, default=0.0,
+                   help="photometric second opinion on the warmup gate + "
+                        "accept-if-better guard (CameraConfig."
+                        "activation_warmup_photo_ratio; try 4)")
+    p.add_argument("--warmup_holdout", type=float, default=0.0,
+                   help="geometric second opinion: re-arm warmup when PnP's "
+                        "holdout cross-validation error exceeds this many px "
+                        "(CameraConfig.activation_warmup_holdout_px; try 2)")
     p.add_argument("--maskcache", action="store_true",
                    help="enable object-branch free-space skipping "
                         "(ObjectConfig.use_maskcache; -41 ms/step measured)")
@@ -189,6 +201,16 @@ def main():
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,
                                             activation_warmup_gate_px=args.warmup_gate))
+    if args.warmup_photo_ratio:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(
+                cfg.camera,
+                activation_warmup_photo_ratio=args.warmup_photo_ratio))
+    if args.warmup_holdout:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(
+                cfg.camera,
+                activation_warmup_holdout_px=args.warmup_holdout))
     if args.incremental_step:
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,
@@ -295,7 +317,8 @@ def main():
             mesh_mod.save_ply(os.path.join(out_dir, "meshes",
                                            f"deform_{h['step']}.ply"), verts, tris)
 
-    trainer.fit(max_iter, log_every=min(args.i_print, 100), callback=on_log)
+    trainer.fit(max_iter, log_every=min(args.i_print, 100), callback=on_log,
+                superstep=max(args.superstep, 1))
     state_mod.save_checkpoint(os.path.join(out_dir, "last_ckpt.pkl"), trainer.state,
                               configs={"expname": cfg.expname})
     print(f"[run] training done in {time.time() - t0:.0f}s")

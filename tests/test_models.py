@@ -335,3 +335,62 @@ class TestBatchedRenderEquivalence:
             got = np.asarray(full[k])
             want = np.concatenate([np.asarray(part_a[k]), np.asarray(part_b[k])], axis=1)
             np.testing.assert_allclose(got, want, atol=1e-5, err_msg=k)
+
+
+class TestPnPHoldout:
+    """pnp._holdout_reproj: cross-validated reprojection quality."""
+
+    def _project(self, pose, X, K):
+        Xc = X @ pose[:, :3].T + pose[:, 3]
+        uv = Xc @ K.T
+        return uv[:, :2] / uv[:, 2:3]
+
+    def test_well_constrained_vs_degenerate(self):
+        from poseprobe_tpu.core import lie
+        from poseprobe_tpu.pose_init import pnp
+
+        rng = np.random.default_rng(0)
+        K = np.array([[120.0, 0, 64], [0, 120.0, 64], [0, 0, 1.0]])
+        pose_gt = np.asarray(lie.se3_to_SE3(
+            jnp.asarray([[0.1, -0.05, 0.02, 0.03, 0.01, 0.9]])))[0]
+        prev = np.asarray(lie.se3_to_SE3(
+            jnp.asarray([[0.0, 0.0, 0.0, 0.0, 0.0, 1.0]])))[0]
+
+        # well-constrained: wide 3D spread in front of the camera
+        X = rng.uniform(-0.8, 0.8, (60, 3)); X[:, 2] += 3.0
+        uv = self._project(pose_gt, X, K) + rng.normal(0, 0.3, (60, 2))
+        good = pnp._holdout_reproj(X, uv, K, prev)
+
+        # degenerate: planar tight cluster (shallow spread, pixel noise on
+        # the order of the image-space spread) — the pose is weakly
+        # constrained, so each half-solve overfits its own noise
+        Xd = rng.uniform(-0.05, 0.05, (60, 3))
+        Xd[:, 2] = 3.0
+        uvd = self._project(pose_gt, Xd, K) + rng.normal(0, 1.0, (60, 2))
+        bad = pnp._holdout_reproj(Xd, uvd, K, prev)
+
+        assert np.isfinite(good) and good < 2.0
+        assert bad > 2.0 * good  # degeneracy shows up in cross-validation
+
+    def test_quality_dict_carries_holdout(self):
+        from poseprobe_tpu.core import lie
+        from poseprobe_tpu.pose_init import pnp
+
+        rng = np.random.default_rng(1)
+        K = np.array([[120.0, 0, 64], [0, 120.0, 64], [0, 0, 1.0]])
+        pose_gt = np.asarray(lie.se3_to_SE3(
+            jnp.asarray([[0.05, 0.02, -0.01, 0.02, -0.03, 0.8]])))[0]
+        X = rng.uniform(-0.8, 0.8, (50, 3)); X[:, 2] += 3.0
+        uv = self._project(pose_gt, X, K)
+        prev = np.asarray(lie.se3_to_SE3(
+            jnp.asarray([[0.0, 0.0, 0.0, 0.0, 0.0, 1.0]])))[0]
+        pnp.solve_pnp(X, uv, K, prev)
+        q = pnp.LAST_QUALITY
+        assert "holdout_reproj_px" in q and np.isfinite(q["holdout_reproj_px"])
+
+    def test_too_few_points_distrusted(self):
+        from poseprobe_tpu.pose_init import pnp
+
+        K = np.eye(3)
+        assert pnp._holdout_reproj(np.zeros((8, 3)), np.zeros((8, 2)), K,
+                                   np.eye(3)[:3]) == float("inf")

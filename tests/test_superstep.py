@@ -1,0 +1,87 @@
+"""lax.scan superstep: numerically identical to sequential steps, and
+window boundaries respect every host event / phase flip.
+
+The superstep (`JointTrainer._train_scan` / `steps_scan` / `fit(superstep=K)`)
+amortizes per-dispatch latency by running K train steps in one device
+program. Correctness contract: same key-split sequence as the sequential
+path, bit-identical state after N steps, and `fit` never lets a scan window
+cross an event boundary (activation, pg_scale, maskcache refresh,
+re-registration, phase-flag flip, log step).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poseprobe_tpu.config import config as cfg_mod
+from poseprobe_tpu.data.synthetic import make_synthetic_scene
+from poseprobe_tpu.models.object_sdf import ObjectConfig
+from poseprobe_tpu.models.scene_nerf import SceneConfig
+from poseprobe_tpu.train.trainer import JointTrainer
+
+
+def _tiny_cfg(data):
+    m = float(data.xyz_max[0])
+    return cfg_mod.ExperimentConfig(
+        data=cfg_mod.DataConfig(near=data.near, far=data.far),
+        camera=cfg_mod.CameraConfig(incremental=False),
+        pnp=cfg_mod.PnPConfig(use_pnp=False),
+        object_model=ObjectConfig(xyz_min=(-m,) * 3, xyz_max=(m,) * 3,
+                                  num_voxels=12**3, num_voxels_base=12**3,
+                                  N_iters=100),
+        object_train=cfg_mod.ObjectTrainConfig(N_iters=100, N_rand=32),
+        scene_model=SceneConfig(rand_rays=48, sample_intvs=16,
+                                sample_intvs_fine=16, max_iter=200,
+                                fine_sampling=True,
+                                ratio_start_fine_sampling_at_x=0.3),
+        scene_train=cfg_mod.SceneTrainConfig(max_iter=200, precrop_iters=0),
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_synthetic_scene(n_train=3, n_test=1, H=32, W=32, seed=0,
+                                n_matches=16)
+
+
+def test_superstep_bitexact_vs_sequential(data):
+    a = JointTrainer(_tiny_cfg(data), data)
+    b = JointTrainer(_tiny_cfg(data), data)
+    a.fit(8)
+    b.fit(8, superstep=4)
+    assert a.state.step == b.state.step == 8
+    for name in ("obj_params", "scene_params", "pose_params"):
+        ta, tb = getattr(a.state, name), getattr(b.state, name)
+        diffs = jax.tree.map(lambda x, y: float(jnp.abs(x - y).max()), ta, tb)
+        assert max(jax.tree.leaves(diffs)) == 0.0, (name, diffs)
+    # key state aligned => continuing either way stays identical
+    assert np.array_equal(np.asarray(a._loop_key), np.asarray(b._loop_key))
+
+
+def test_steps_scan_refuses_to_cross_boundary(data):
+    cfg = _tiny_cfg(data)
+    tr = JointTrainer(cfg, data)
+    # fine sampling flips on at 0.3*200 = step 60
+    tr.state.step = 58
+    with pytest.raises(AssertionError):
+        tr.steps_scan(4)
+
+
+def test_next_boundary_enumerates_events(data):
+    cfg = _tiny_cfg(data)
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, incremental=True,
+                                   incremental_step=50),
+        pnp=dataclasses.replace(cfg.pnp, use_pnp=False, use_identical=True),
+    )
+    tr = JointTrainer(cfg, data)
+    assert tr.state.n_active == 2
+    assert tr._next_boundary(0) == 50      # next activation
+    assert tr._next_boundary(55) == 60     # fine_start = 0.3*200
+    assert tr._next_boundary(60) == 100    # next activation (multiple of 50)
+    assert tr._next_boundary(100) == 101   # object_on flips after N_iters=100
+    tr.state.n_active = tr.n_train        # activations exhausted
+    assert tr._next_boundary(101) > 10_000_000  # no events left

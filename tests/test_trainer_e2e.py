@@ -211,6 +211,43 @@ class TestSixViews:
         for h in hist:
             assert np.isfinite(h["loss_total"])
 
+    def test_guarded_warmup_photo_gate(self, scene_data, capsys):
+        """activation_warmup_photo_ratio adds a photometric second opinion to
+        the px gate (re-arming warmup for degenerate PnP poses that reproject
+        tightly) and accepts the warmup result only if it scores better on
+        the same fixed rays."""
+        cfg = tiny_config(scene_data, max_iter=80, n_iters_obj=80, incremental_step=30)
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(
+                cfg.camera, activation_pose_warmup=3, activation_warmup_lr=1e-3,
+                activation_warmup_gate_px=8.0,
+                activation_warmup_photo_ratio=1e-6))  # re-arms on any mismatch
+        tr = JointTrainer(cfg, scene_data)
+        hist = tr.fit(80, log_every=40)
+        assert tr.state.n_active == 3
+        out = capsys.readouterr().out
+        # the tiny ratio forces the photo gate to re-arm + guard every warmup
+        assert "photo gate re-arms warmup" in out
+        assert ("warmup accepted" in out) or ("warmup REJECTED" in out)
+        for h in hist:
+            assert np.isfinite(h["loss_total"])
+
+    def test_photometric_pose_score_deterministic(self, scene_data):
+        from poseprobe_tpu.eval import evaluator
+
+        cfg = tiny_config(scene_data)
+        tr = JointTrainer(cfg, scene_data)
+        pose = np.asarray(tr.current_pose())[0]
+        s1 = evaluator.photometric_pose_score(
+            tr.state.scene_params, cfg.scene_model, pose, tr.Ks[0],
+            tr.images[0], (scene_data.near, scene_data.far), progress=0.1,
+            use_fine=False)
+        s2 = evaluator.photometric_pose_score(
+            tr.state.scene_params, cfg.scene_model, pose, tr.Ks[0],
+            tr.images[0], (scene_data.near, scene_data.far), progress=0.1,
+            use_fine=False)
+        assert np.isfinite(s1) and s1 == s2  # fixed rays -> comparable scores
+
     def test_activation_object_scaled_anchor(self, scene_data):
         """anchor='object_scaled' (probe anchors, scene-gauge median depth
         rescale) activates views without failure and trains finitely."""
