@@ -42,7 +42,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1024 * (128 + 256))
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--tile", type=int, default=0,
+                    help="points per pallas grid step (0 = module default)")
     args = ap.parse_args()
+    if args.tile:
+        fused_mlp.TILE = args.tile
 
     cfg = SceneConfig(matmul_dtype="bfloat16")
     skip = cfg.skip[0]

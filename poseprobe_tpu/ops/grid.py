@@ -17,9 +17,50 @@ is no module object. `border` padding semantics (clamp) match
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .pallas import layout as pallas_layout
+
+
+def _pin_layout() -> bool:
+    """Route multi-channel gather/scatter buffers through a pallas transpose
+    so XLA cannot give them the column-major layout (see ops/pallas/layout.py
+    — 22.2 ms/step profiled for the 12-ch k0 scatter without the pin). Off on
+    CPU (tests) and via POSEPROBE_PIN_LAYOUT=0 (A/B microbench)."""
+    if os.environ.get("POSEPROBE_PIN_LAYOUT", "1") == "0":
+        return False
+    from .pallas.fused_mlp import on_tpu
+
+    return on_tpu()
+
+
+def _rows_from_grid(grid: jnp.ndarray) -> jnp.ndarray:
+    """[C, X, Y, Z] -> flat [V, C] rows, physically row-major."""
+    C = grid.shape[0]
+    flat = grid.reshape(C, -1)
+    if C > 1 and _pin_layout():
+        return pallas_layout.transpose2d(flat)
+    flat = flat.T
+    if C > 1:
+        # best-effort on non-TPU paths: discourage (but cannot forbid —
+        # barriers are layout-transparent) folding the transpose into the
+        # gather operand layout
+        flat = jax.lax.optimization_barrier(flat)
+    return flat
+
+
+def _grid_from_rows(d_flat: jnp.ndarray, gshape) -> jnp.ndarray:
+    """Flat [V, C] rows (e.g. a scatter-add result) -> [C, X, Y, Z]."""
+    C = gshape[0]
+    if C > 1 and _pin_layout():
+        return pallas_layout.transpose2d(d_flat).reshape(gshape)
+    if C > 1:
+        d_flat = jax.lax.optimization_barrier(d_flat)
+    return d_flat.T.reshape(gshape)
 
 
 def normalize_coords(xyz: jnp.ndarray, xyz_min: jnp.ndarray, xyz_max: jnp.ndarray) -> jnp.ndarray:
@@ -57,14 +98,12 @@ def _corner_data(grid: jnp.ndarray, xyz: jnp.ndarray, xyz_min: jnp.ndarray, xyz_
     base = (x0 * Y + y0) * Z + z0
     offs = jnp.asarray([0, 1, Z, Z + 1, Y * Z, Y * Z + 1, Y * Z + Z, Y * Z + Z + 1], jnp.int32)
     idx8 = base[:, None] + offs[None, :]  # [N, 8]
-    flat = grid.reshape(C, -1).T  # channels-last: contiguous [C] row reads
-    if C > 1:
-        # force a materialized row-major copy: without the barrier, XLA folds
-        # the transpose into the gather's operand layout ({0,1} column-major),
-        # turning every per-point [C] row read into C strided cache-line
-        # touches (profiled: the 12-ch k0 gather+scatter pair dominates the
-        # early-phase step). One 42 MB copy (~0.1 ms) buys contiguous rows.
-        flat = jax.lax.optimization_barrier(flat)
+    # channels-last rows, PINNED row-major (pallas transpose on TPU): without
+    # the pin, XLA folds the transpose into the gather's operand layout
+    # ({0,1} column-major), turning every per-point [C] row read into C
+    # strided cache-line touches. One 42 MB copy (~0.1 ms) buys contiguous
+    # rows (see ops/pallas/layout.py).
+    flat = _rows_from_grid(grid)
     vals = flat[idx8]  # [N, 8, C]
     return vals, idx8, (wx[:, None], wy[:, None], wz[:, None]), (mx[:, None], my[:, None], mz[:, None]), scale
 
@@ -122,14 +161,12 @@ def _trilinear_value_bwd(res, ct):
     C = gshape[0]
     # d grid: scatter W_c * ct into the 8 corners (one flat scatter)
     contrib = (W[..., None] * ct[:, None, :]).reshape(-1, C)  # [8N, C]
+    # scattering C-wide rows into a row-major {1,0} buffer is one contiguous
+    # window per update; the {0,1} layout XLA picks when the transpose is
+    # foldable makes it C strided stores (profiled 22.2 ms vs ~3 ms at
+    # 467k x 12ch on a 96^3 grid) — the pallas transpose PINS {1,0}
     d_flat = jnp.zeros((int(np.prod(gshape[1:])), C), ct.dtype).at[idx8.reshape(-1)].add(contrib)
-    if C > 1:
-        # decouple the scatter operand's layout from the transpose consumer:
-        # scattering C-wide rows into a {1,0} buffer is one contiguous window
-        # per update; the {0,1} layout XLA would pick for the transpose makes
-        # it C strided stores (43.8 ms vs ~7 ms profiled at 925k x 12ch)
-        d_flat = jax.lax.optimization_barrier(d_flat)
-    d_grid = d_flat.T.reshape(gshape)
+    d_grid = _grid_from_rows(d_flat, gshape)
     # d pts: sum_c sign_axis * (bilinear weights of other axes) * vals . ct
     wx, wy, wz = w
     mx, my, mz = m
@@ -346,9 +383,7 @@ def _trilinear_vg_bwd(res, cts):
     )  # [N, 8, C]
     d_flat = jnp.zeros((int(np.prod(gshape[1:])), C), ct_v.dtype).at[idx8.reshape(-1)].add(
         contrib.reshape(-1, C))
-    if C > 1:
-        d_flat = jax.lax.optimization_barrier(d_flat)  # see _trilinear_value_bwd
-    d_grid = d_flat.T.reshape(gshape)
+    d_grid = _grid_from_rows(d_flat, gshape)  # layout pin: see _trilinear_value_bwd
 
     # --- d pts: differentiate the coefficient matrices w.r.t. wx/wy/wz ---
     v_ct_v = jnp.einsum("ncd,nd->nc", vals, ct_v)    # [N, 8]

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256
+TILE = 512  # default point-tile; override per call (see fused_trunk(tile=))
 IN_PAD = 128  # encoded-input width after padding (63 -> 128 for L_3D=10)
 
 
@@ -76,7 +76,7 @@ def _fwd_kernel_factory(L: int, skip: int, H: int):
     return kernel
 
 
-def _trunk_fwd_call(enc, ws, bs, skip, interpret):
+def _trunk_fwd_call(enc, ws, bs, skip, interpret, tile):
     """enc [N_pad, IN_PAD] bf16; ws/bs padded bf16.
 
     Returns (feat [N_pad, H] bf16, dens [N_pad, IN_PAD] f32 — density in
@@ -84,22 +84,22 @@ def _trunk_fwd_call(enc, ws, bs, skip, interpret):
     L = len(ws)
     H = ws[0].shape[1]
     N = enc.shape[0]
-    n_tiles = N // TILE
-    flops_layer = sum(2 * TILE * w.shape[0] * w.shape[1] for w in ws)
+    n_tiles = N // tile
+    flops_layer = sum(2 * tile * w.shape[0] * w.shape[1] for w in ws)
     return pl.pallas_call(
         _fwd_kernel_factory(L, skip, H),
         out_shape=[jax.ShapeDtypeStruct((N, H), jnp.bfloat16),
                    jax.ShapeDtypeStruct((N, IN_PAD), jnp.float32)],
         grid=(n_tiles,),
         in_specs=(
-            [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+            [pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
             + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for w in ws]
             + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for b in bs]),
-        out_specs=[pl.BlockSpec((TILE, H), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((tile, H), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
+                   pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)],
         cost_estimate=pl.CostEstimate(
             flops=n_tiles * flops_layer,
@@ -189,18 +189,18 @@ def _bwd_kernel_factory(L: int, skip: int, H: int):
     return kernel
 
 
-def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret):
+def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret, tile):
     L = len(ws)
     H = ws[0].shape[1]
     N = enc.shape[0]
-    n_tiles = N // TILE
-    flops_layer = sum(2 * TILE * w.shape[0] * w.shape[1] for w in ws)
+    n_tiles = N // tile
+    flops_layer = sum(2 * tile * w.shape[0] * w.shape[1] for w in ws)
     out_shapes = (
         [jax.ShapeDtypeStruct((N, IN_PAD), jnp.bfloat16)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
     out_specs = (
-        [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        [pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for w in ws]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -210,17 +210,17 @@ def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret):
         out_shape=out_shapes,
         grid=(n_tiles,),
         in_specs=(
-            [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
-             pl.BlockSpec((TILE, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-             pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+            [pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+             pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+             pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
             + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for w in ws]
             + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for b in bs]),
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((L - 1, TILE, H), jnp.bfloat16),
-            pltpu.VMEM((TILE, H + IN_PAD), jnp.float32),
+            pltpu.VMEM((L - 1, tile, H), jnp.bfloat16),
+            pltpu.VMEM((tile, H + IN_PAD), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=3 * n_tiles * flops_layer,
@@ -238,21 +238,21 @@ def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret):
 # custom-vjp wrapper over the padded shapes
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _trunk_padded(enc, ws, bs, skip, interpret):
-    return _trunk_fwd_call(enc, ws, bs, skip, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _trunk_padded(enc, ws, bs, skip, interpret, tile):
+    return _trunk_fwd_call(enc, ws, bs, skip, interpret, tile)
 
 
-def _trunk_padded_fwd(enc, ws, bs, skip, interpret):
-    return _trunk_fwd_call(enc, ws, bs, skip, interpret), (enc, ws, bs)
+def _trunk_padded_fwd(enc, ws, bs, skip, interpret, tile):
+    return _trunk_fwd_call(enc, ws, bs, skip, interpret, tile), (enc, ws, bs)
 
 
-def _trunk_padded_bwd(skip, interpret, res, g_out):
+def _trunk_padded_bwd(skip, interpret, tile, res, g_out):
     enc, ws, bs = res
     g_feat, g_dens = g_out
     denc, dws, dbs = _trunk_bwd_call(enc, g_feat.astype(jnp.bfloat16),
                                      g_dens.astype(jnp.bfloat16),
-                                     ws, bs, skip, interpret)
+                                     ws, bs, skip, interpret, tile)
     dws = [d.astype(w.dtype) for d, w in zip(dws, ws)]
     dbs = [d.astype(b.dtype) for d, b in zip(dbs, bs)]
     return denc, dws, dbs
@@ -289,22 +289,30 @@ def supports(cfg) -> bool:
 
 
 def fused_trunk(enc: jnp.ndarray, feat_layers: list, skip: int,
-                interpret: bool = False):
+                interpret: bool = False, tile: int | None = None):
     """Run the trunk on [..., D] encoded points.
 
     feat_layers: list of {'w', 'b'} (bf16 or f32; cast to bf16 here), layer
     l==skip expecting input `concat([feat, enc])`, last layer emitting
     [density | H-dim feature].
 
+    `tile` = points per grid step (default module TILE): larger tiles
+    amortize per-step overhead and raise MXU occupancy at the cost of VMEM
+    (weights + dW f32 + [L-1, tile, H] activation scratch must fit).
+
     Returns (raw_density [...] f32, feat [..., H] bf16-valued f32-castable).
     """
+    tile = tile or TILE
     L = len(feat_layers)
     H = feat_layers[0]["w"].shape[1]
     lead = enc.shape[:-1]
     D = enc.shape[-1]
     x = enc.reshape(-1, D).astype(jnp.bfloat16)
     N = x.shape[0]
-    N_pad = _cdiv(N, TILE) * TILE
+    # small batches: shrink the tile so padding waste stays bounded
+    while tile > 256 and N <= tile // 2:
+        tile //= 2
+    N_pad = _cdiv(N, tile) * tile
     x = jnp.pad(x, ((0, N_pad - N), (0, IN_PAD - D)))
 
     ws, bs = [], []
@@ -325,7 +333,7 @@ def fused_trunk(enc: jnp.ndarray, feat_layers: list, skip: int,
         ws.append(w)
         bs.append(b)
 
-    feat_out, dens_out = _trunk_padded(x, ws, bs, skip, interpret)
+    feat_out, dens_out = _trunk_padded(x, ws, bs, skip, interpret, tile)
     raw_density = dens_out[:N, 0].reshape(lead)
     feat = feat_out[:N].reshape(lead + (H,))
     return raw_density, feat

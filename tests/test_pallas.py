@@ -193,3 +193,42 @@ class TestPallasRenderPath:
                                    np.asarray(out2["rgb_marched"]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(out1["weights"]),
                                    np.asarray(out2["weights"]), atol=1e-6)
+
+
+class TestLayoutTranspose:
+    """ops/pallas/layout.transpose2d — the scatter/gather layout pin."""
+
+    def test_transpose_shapes(self):
+        import numpy as np
+        from poseprobe_tpu.ops.pallas import layout
+
+        for a, b in [(4096, 12), (12, 4096), (2048, 13), (1000, 12), (12, 999)]:
+            x = jax.random.normal(jax.random.PRNGKey(a + b), (a, b))
+            y = layout.transpose2d(x, interpret=True)
+            np.testing.assert_array_equal(np.asarray(y), np.asarray(x).T)
+
+    def test_pinned_grid_vjp_matches_barrier_path(self, monkeypatch):
+        """The pinned (pallas-transpose) gather/scatter path must be
+        numerically identical to the plain path for both trilinear VJPs."""
+        import numpy as np
+        from poseprobe_tpu.ops import grid as G
+
+        lo, hi = jnp.zeros(3), jnp.ones(3)
+        grid = jax.random.normal(jax.random.PRNGKey(0), (12, 16, 16, 16))
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+
+        def loss(g, p):
+            return (G.trilinear_sample(g, p, lo, hi) ** 2).sum()
+
+        def loss_vg(g, p):
+            v, gr = G.trilinear_sample_with_grad(g, p, lo, hi)
+            return (v ** 2).sum() + (gr ** 2).sum()
+
+        ref = [jax.grad(loss, argnums=(0, 1))(grid, pts),
+               jax.grad(loss_vg, argnums=(0, 1))(grid, pts)]
+        monkeypatch.setattr(G, "_pin_layout", lambda: True)  # interpret on CPU
+        pin = [jax.grad(loss, argnums=(0, 1))(grid, pts),
+               jax.grad(loss_vg, argnums=(0, 1))(grid, pts)]
+        for (r, p) in zip(jax.tree.leaves(ref), jax.tree.leaves(pin)):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(p),
+                                       atol=1e-5, rtol=1e-5)
