@@ -250,14 +250,19 @@ def sdf_with_deform(params: dict, cfg: ObjectConfig, sdf_grid: jnp.ndarray, pts:
     return sdf, {}
 
 
-def _color_head(params: dict, cfg: ObjectConfig, pts, viewdirs, gradient, progress, lo, hi):
+def _color_head(params: dict, cfg: ObjectConfig, pts, viewdirs, gradient, progress, lo, hi,
+                k0=None):
     """Per-sample color: k0 features + BARF-masked pos/view PE + normal -> MLP
-    -> sigmoid (`voxurf_coarse.py:1005-1033`)."""
+    -> sigmoid (`voxurf_coarse.py:1005-1033`).
+
+    `k0` may be pre-sampled by the caller (render merges the sdf + k0 lookups
+    at the same points into one 13-channel gather/scatter pair)."""
     rays_xyz = (pts - lo) / (hi - lo)
     xyz_emb = pe.posenc_object(rays_xyz, cfg.posbase_pe, progress, cfg.barf_c2f)
     view_emb = pe.posenc_object(viewdirs, cfg.viewbase_pe, progress, cfg.barf_c2f)
     view_emb = jnp.broadcast_to(view_emb[:, None, :], pts.shape[:2] + (view_emb.shape[-1],))
-    k0 = sample_k0(params, cfg, pts, lo, hi)
+    if k0 is None:
+        k0 = sample_k0(params, cfg, pts, lo, hi)
     feats = [k0, xyz_emb, view_emb]
     if cfg.geo_rgb_dim == 3:
         normal = gradient / (safe_norm(gradient, keepdims=True) + 1e-5)
@@ -311,6 +316,14 @@ def render(
     # closed-form, and the chain rule composes them — so the outer loss
     # backward stays a single first-order VJP (the reference instead builds
     # create_graph=True backward graphs, `voxurf_coarse.py:972-984`).
+    # Merged pts-located lookups: the sdf and the 12-ch k0 features are both
+    # sampled at `pts`, so for the dense backend they share one 13-channel
+    # gather (fwd) and one 13-channel row scatter (bwd) instead of a scalar
+    # pair + a 12-ch pair — the scalar scatter alone profiled at 3.4 ms/step
+    # (serialization-bound; see ops/pallas/layout.py for the row layout).
+    merged = cfg.grid_type == "dense"
+    k0_feat = None
+
     aux = {}
     if use_deform:
         deform, correction, jac_warp, grad_corr = deform_mod.deform_with_jacobian_fwd(
@@ -320,12 +333,22 @@ def render(
         sdf_final = sdf_val[..., 0] + correction[..., 0]
         # d sdf/d pts_j = sum_i J_warp[..., j, i] * d trilerp/d x_i + d corr/d pts_j
         gradient = jnp.einsum("...ji,...i->...j", jac_warp, tri_grad[..., 0, :]) + grad_corr
-        sdf_wo_deform = grid_ops.trilinear_sample(sdf_grid, pts, lo, hi)[..., 0]
+        if merged:
+            both = grid_ops.trilinear_sample(
+                jnp.concatenate([sdf_grid, params["k0_grid"]], axis=0), pts, lo, hi)
+            sdf_wo_deform, k0_feat = both[..., 0], both[..., 1:]
+        else:
+            sdf_wo_deform = grid_ops.trilinear_sample(sdf_grid, pts, lo, hi)[..., 0]
         aux = {
             "sdf_deform": sdf_final - sdf_wo_deform,  # (ref :978)
             "grad_deform": jac_warp,
             "sdf_correct": correction,
         }
+    elif merged:
+        both, tri_grad = grid_ops.trilinear_sample_with_grad(
+            jnp.concatenate([sdf_grid, params["k0_grid"]], axis=0), pts, lo, hi)
+        sdf_final, k0_feat = both[..., 0], both[..., 1:]
+        gradient = tri_grad[..., 0, :]
     else:
         sdf_val, tri_grad = grid_ops.trilinear_sample_with_grad(sdf_grid, pts, lo, hi)
         sdf_final = sdf_val[..., 0]
@@ -343,7 +366,8 @@ def render(
         from ..ops.pallas import fused_composite as FC
         true_cos = jnp.sum(viewdirs[:, None, :] * gradient, axis=-1)
         cos_term = -jnp.maximum(-true_cos, 0.0)
-        rgb_pre = _color_head(params, cfg, pts, viewdirs, gradient, progress, lo, hi)
+        rgb_pre = _color_head(params, cfg, pts, viewdirs, gradient, progress, lo, hi,
+                               k0=k0_feat)
         weights, alphainv_last, rgb_marched_raw, n_step_f = FC.fused_alpha_composite(
             sdf_final, cos_term, mask, rgb_pre, step, 1.0 / s_val, dist)
         alpha = compositing.neus_alpha_from_sdf(viewdirs[:, None, :], dist, sdf_final,
@@ -360,7 +384,8 @@ def render(
             weights, alphainv_last = compositing.alpha2weights(alpha)
 
     if not (cfg.use_pallas_composite and cfg.fast_color_thres <= 0):
-        rgb = _color_head(params, cfg, pts, viewdirs, gradient, progress, lo, hi)
+        rgb = _color_head(params, cfg, pts, viewdirs, gradient, progress, lo, hi,
+                          k0=k0_feat)
 
     w = weights[..., None]
     rgb_marched = (w * rgb).sum(axis=1)
