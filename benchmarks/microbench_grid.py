@@ -86,8 +86,19 @@ def main():
         scat = jax.jit(lambda i, u: jnp.zeros((D ** 3, C), jnp.float32)
                        .at[i].add(u).sum())
         dt_s = bench(scat, idx, upd)
+        # lane-padded scatter (one contiguous (8,128) tile row per update)
+        # + pallas transpose_slice consumer — the production scatter path
+        from poseprobe_tpu.ops.pallas import layout as PL
+
+        def scat_pad(i, u):
+            up = jnp.pad(u, ((0, 0), (0, 128 - C)))
+            d = jnp.zeros((D ** 3, 128), jnp.float32).at[i].add(up)
+            return PL.transpose_slice(d, C).sum()
+
+        dt_sp = bench(jax.jit(scat_pad), idx, upd)
         print(f"[{tag}] channels-last explicit: gather {dt_g*1e3:7.2f} ms   "
-              f"scatter-add {dt_s*1e3:7.2f} ms  ({N*8} rows)", flush=True)
+              f"scatter-add {dt_s*1e3:7.2f} ms   lane-padded scatter "
+              f"{dt_sp*1e3:7.2f} ms  ({N*8} rows)", flush=True)
 
 
 if __name__ == "__main__":

@@ -63,6 +63,30 @@ def _grid_from_rows(d_flat: jnp.ndarray, gshape) -> jnp.ndarray:
     return d_flat.T.reshape(gshape)
 
 
+_LANE = 128  # TPU lane width: full-tile-row scatter updates (see below)
+
+
+def _scatter_rows_to_grid(idx: jnp.ndarray, contrib: jnp.ndarray,
+                          gshape) -> jnp.ndarray:
+    """Scatter-add [M, C] rows at flat voxel ids `idx` -> grid [C, X, Y, Z].
+
+    A multi-channel scatter into [V, C<128] costs ~C x the scalar per-row
+    floor on TPU (measured 59.9 ms vs 8.4 ms for C=12 vs C=1 at 925k rows:
+    XLA lays [V, 12] out column-major, so each row update is 12 strided
+    single-lane stores). Padding the update rows to the full 128-lane tile
+    makes each update one contiguous (8,128) tile row at the scalar cost;
+    the pallas transpose_slice consumer then drops the pad lanes and pins
+    the scatter output row-major (custom-call boundary)."""
+    C = gshape[0]
+    V = int(np.prod(gshape[1:]))
+    if C > 1 and _pin_layout():
+        up = jnp.pad(contrib, ((0, 0), (0, _LANE - C)))
+        d = jnp.zeros((V, _LANE), contrib.dtype).at[idx].add(up)
+        return pallas_layout.transpose_slice(d, C).reshape(gshape)
+    d_flat = jnp.zeros((V, C), contrib.dtype).at[idx].add(contrib)
+    return _grid_from_rows(d_flat, gshape)
+
+
 def normalize_coords(xyz: jnp.ndarray, xyz_min: jnp.ndarray, xyz_max: jnp.ndarray) -> jnp.ndarray:
     """World coords -> continuous voxel-index coords [0, D-1] per axis.
 
@@ -161,12 +185,7 @@ def _trilinear_value_bwd(res, ct):
     C = gshape[0]
     # d grid: scatter W_c * ct into the 8 corners (one flat scatter)
     contrib = (W[..., None] * ct[:, None, :]).reshape(-1, C)  # [8N, C]
-    # scattering C-wide rows into a row-major {1,0} buffer is one contiguous
-    # window per update; the {0,1} layout XLA picks when the transpose is
-    # foldable makes it C strided stores (profiled 22.2 ms vs ~3 ms at
-    # 467k x 12ch on a 96^3 grid) — the pallas transpose PINS {1,0}
-    d_flat = jnp.zeros((int(np.prod(gshape[1:])), C), ct.dtype).at[idx8.reshape(-1)].add(contrib)
-    d_grid = _grid_from_rows(d_flat, gshape)
+    d_grid = _scatter_rows_to_grid(idx8.reshape(-1), contrib, gshape)
     # d pts: sum_c sign_axis * (bilinear weights of other axes) * vals . ct
     wx, wy, wz = w
     mx, my, mz = m
@@ -381,9 +400,7 @@ def _trilinear_vg_bwd(res, cts):
         + (_SIGN_Y * AX * AZ * sym)[..., None] * ct_gy[:, None, :]
         + (_SIGN_Z * AX * AY * szm)[..., None] * ct_gz[:, None, :]
     )  # [N, 8, C]
-    d_flat = jnp.zeros((int(np.prod(gshape[1:])), C), ct_v.dtype).at[idx8.reshape(-1)].add(
-        contrib.reshape(-1, C))
-    d_grid = _grid_from_rows(d_flat, gshape)  # layout pin: see _trilinear_value_bwd
+    d_grid = _scatter_rows_to_grid(idx8.reshape(-1), contrib.reshape(-1, C), gshape)
 
     # --- d pts: differentiate the coefficient matrices w.r.t. wx/wy/wz ---
     v_ct_v = jnp.einsum("ncd,nd->nc", vals, ct_v)    # [N, 8]

@@ -33,6 +33,43 @@ def _t_kernel(x_ref, o_ref):
     o_ref[...] = x_ref[...].T
 
 
+def _ts_kernel_factory(C: int):
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...][:, :C].T
+
+    return kernel
+
+
+def transpose_slice(x: jnp.ndarray, C: int, tile: int = _TILE,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """[V, P] -> [C, V]: keep the first C of P columns, transposed.
+
+    Consumer side of the lane-padded scatter trick: a multi-channel
+    scatter-add into [V, C<128] runs at C x the scalar per-row cost (each
+    row update is C strided single-lane stores in the {0,1} layout XLA
+    picks, and the row-major layout would pad the lane dim to 128 anyway —
+    measured 59.9 ms vs 8.4 ms for C=12 vs C=1 at 925k rows). Scattering
+    into [V, 128] instead makes each update one contiguous (8,128) tile row
+    at the scalar cost; this kernel then drops the padding lanes and emits
+    the channel-major [C, V] the grid layout wants, pinning the scatter
+    output row-major at the custom-call boundary."""
+    if interpret is None:
+        from .fused_mlp import on_tpu
+
+        interpret = not on_tpu()
+    V, P = x.shape
+    return pl.pallas_call(
+        _ts_kernel_factory(C),
+        out_shape=jax.ShapeDtypeStruct((C, V), x.dtype),
+        grid=(pl.cdiv(V, tile),),
+        in_specs=[pl.BlockSpec((tile, P), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((C, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x)
+
+
 def transpose2d(x: jnp.ndarray, tile: int = _TILE,
                 interpret: bool | None = None) -> jnp.ndarray:
     """[A, B] -> [B, A] with both sides in default (row-major) layout.

@@ -207,6 +207,15 @@ class TestLayoutTranspose:
             y = layout.transpose2d(x, interpret=True)
             np.testing.assert_array_equal(np.asarray(y), np.asarray(x).T)
 
+    def test_transpose_slice(self):
+        import numpy as np
+        from poseprobe_tpu.ops.pallas import layout
+
+        for v, c in [(4096, 12), (1000, 13), (2049, 1)]:
+            x = jax.random.normal(jax.random.PRNGKey(v), (v, 128))
+            y = layout.transpose_slice(x, c, interpret=True)
+            np.testing.assert_array_equal(np.asarray(y), np.asarray(x)[:, :c].T)
+
     def test_pinned_grid_vjp_matches_barrier_path(self, monkeypatch):
         """The pinned (pallas-transpose) gather/scatter path must be
         numerically identical to the plain path for both trilinear VJPs."""
