@@ -52,11 +52,13 @@ def projection_error_loss(
     near: float = 0.3,
     far: float = 4.0,
     HW=None,
+    mask_grid=None,
 ):
     """Returns (projection_dis_error, near_surface_loss).
 
     Both directions are stacked like the reference ([coord_i->view_j] and
-    [coord_j->view_i], `recon_scene.py:323-325`).
+    [coord_j->view_i], `recon_scene.py:323-325`). `mask_grid` enables
+    free-space compaction inside the surface query (same as render).
     """
     coords = jnp.stack([coord_self, coord_other])  # [2, M, 2]
     src_idx = jnp.stack([id_i, id_j])
@@ -72,7 +74,7 @@ def projection_error_loss(
     if use_deform:
         pts, valid, _ = object_sdf.query_surface_points_render(
             obj_params, obj_cfg, flat_o, flat_d, global_step, use_deform=True,
-            near=near, far=far)
+            near=near, far=far, mask_grid=mask_grid)
     else:
         pts, valid, _ = object_sdf.query_surface_points(
             obj_params, obj_cfg, flat_o, flat_d, use_deform=False, near=near, far=far)

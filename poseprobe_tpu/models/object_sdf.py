@@ -478,11 +478,15 @@ def query_surface_points_render(
     rng: jax.Array | None = None,
     near: float = 0.3,
     far: float = 4.0,
+    mask_grid: jnp.ndarray | None = None,
 ):
     """Differentiable surface localisation via volume-rendered expected depth.
 
     Mirrors `query_sdf_point_wocuda_render` (`voxurf_coarse.py:839-920`):
     depth = t_min/|d| + sum(w * step); valid where any weight mass exists.
+    `mask_grid` enables the same free-space compaction as `render` (the
+    per-sample grid VJPs are per-row serialization-bound, so halving the
+    sample rows halves this pass's dominant cost).
     Returns (points [N, 3], valid [N] bool, depth [N]).
     """
     lo, hi = _bounds(cfg)
@@ -491,17 +495,22 @@ def query_surface_points_render(
         voxel_size=jnp.asarray(cfg.voxel_size), n_samples=cfg.n_samples,
         rng=rng,
     )
+    pts, step, mask = samp.pts, samp.step, samp.mask_inbbox
+    if mask_grid is not None:
+        occ = maskcache.mask_lookup(mask_grid, pts, lo, hi)
+        comp = maskcache.compact_ray_samples(pts, step, mask & occ, cfg.maskcache_K)
+        pts, step, mask = comp.pts, comp.step, comp.mask
     sdf_grid = processed_sdf_grid(params, cfg)
 
     if use_deform:
         deform, correction, jac_warp, grad_corr = deform_mod.deform_with_jacobian_fwd(
-            params["warpnet"], samp.pts)
+            params["warpnet"], pts)
         sdf_val, tri_grad = grid_ops.trilinear_sample_with_grad(
-            sdf_grid, samp.pts + deform, lo, hi)
+            sdf_grid, pts + deform, lo, hi)
         sdf = sdf_val[..., 0] + correction[..., 0]
         gradient = jnp.einsum("...ji,...i->...j", jac_warp, tri_grad[..., 0, :]) + grad_corr
     else:
-        sdf_val, tri_grad = grid_ops.trilinear_sample_with_grad(sdf_grid, samp.pts, lo, hi)
+        sdf_val, tri_grad = grid_ops.trilinear_sample_with_grad(sdf_grid, pts, lo, hi)
         sdf = sdf_val[..., 0]
         gradient = tri_grad[..., 0, :]
     dist = cfg.stepsize * cfg.voxel_size
@@ -509,9 +518,9 @@ def query_surface_points_render(
         if not cfg.s_learn else params["s_val"]
     viewdirs = rays_d / jnp.maximum(jnp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-12)
     alpha = compositing.neus_alpha_from_sdf(viewdirs[:, None, :], dist, sdf, gradient, s_val)
-    alpha = jnp.where(samp.mask_inbbox, alpha, 0.0)
+    alpha = jnp.where(mask, alpha, 0.0)
     weights, _ = compositing.alpha2weights(alpha)
-    n_step = (weights * samp.step).sum(axis=1)
+    n_step = (weights * step).sum(axis=1)
     d_norm = jnp.maximum(jnp.linalg.norm(rays_d, axis=-1), 1e-12)
     # depth in units of the (unnormalized) direction, like ref :910
     depth = samp.t_min + n_step / d_norm

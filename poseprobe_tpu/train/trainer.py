@@ -271,7 +271,8 @@ class JointTrainer:
                         mconf=pack[:, 4], id_i=self.pair_j[r], id_j=r,
                         global_step=step_f, inverse_y=self.data.inverse_y,
                         use_deform=proj_use_deform, pixel_thre=200.0,
-                        near=self.data.near, far=self.data.far)
+                        near=self.data.near, far=self.data.far,
+                        mask_grid=mask_arr)
                     obj_loss = obj_loss + ot.projection_dis_error * proj_err \
                         + ot.weight_near_surface * near_surf
                     metrics["proj_err"] = proj_err

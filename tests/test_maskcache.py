@@ -175,3 +175,20 @@ def test_trainer_pg_scale_two_events():
     assert np.prod(end_shape[1:]) >= 16**3 * 0.7  # trilinear world_size rounding
     assert np.prod(end_shape[1:]) > np.prod(start_shape[1:])
     assert all(np.isfinite(h["loss_total"]) for h in hist)
+
+
+def test_surface_query_full_budget_exact_parity():
+    """query_surface_points_render with keep=1.0 + all-true mask == no mask
+    (compaction is the identity permutation; same contract as render)."""
+    cfg = _cfg(use_maskcache=True, maskcache_thres=1e9, maskcache_keep=1.0)
+    params = object_sdf.init_object_params(jax.random.PRNGKey(0), cfg)
+    mask = maskcache.build_mask_grid(params["sdf_grid"], cfg.maskcache_thres)
+    rays_o, rays_d, _ = _rays()
+    p1, v1, d1 = object_sdf.query_surface_points_render(
+        params, cfg, rays_o, rays_d, 50.0, use_deform=True, near=0.5, far=5.0)
+    p2, v2, d2 = object_sdf.query_surface_points_render(
+        params, cfg, rays_o, rays_d, 50.0, use_deform=True, near=0.5, far=5.0,
+        mask_grid=mask)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
