@@ -198,10 +198,10 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
         "steps_per_sec_weighted": round(max_iter / total_time, 3),
         "est_60k_run_minutes": round(total_time / 60.0, 1),
         # time-to-PSNR from the latest committed convergence artifact on this
-        # device class (logs/r3_3view_warmup_dc: 3-view protocol, 20k steps,
-        # TPU v5e): test PSNR 30.10 / SSIM 0.955 in 26.5 wall-clock minutes.
+        # device class (logs/r3_3view_gate_mc: 3-view protocol, 20k steps,
+        # TPU v5e): test PSNR 32.12 / SSIM 0.973 in 22.2 wall-clock minutes.
         # SPARF-class CUDA joint training needs hours for the same protocol.
-        "time_to_psnr30_3view_minutes": 26.5,
+        "time_to_psnr30_3view_minutes": 22.2,
         "matmul_dtype": matmul_dtype,
         "superstep": superstep,
         "maskcache": True,
