@@ -17,15 +17,25 @@ import time
 sys.path.insert(0, ".")
 
 
-def bench(fn, *args, iters=10, warmup=3):
+def bench(fn, *args, iters=10, warmup=3, vary=0):
+    """Times fn(*args). `vary` = index of an arg to perturb per iteration so
+    the axon relay cannot serve cached executions (CLAUDE.md pitfall — an
+    unvaried loop measured 0.04 ms for a 27 ms program)."""
     import jax
+    import jax.numpy as jnp
+
+    variants = []
+    for i in range(max(iters, warmup)):
+        a = list(args)
+        a[vary] = a[vary] + jnp.asarray(1e-6 * (i + 1), a[vary].dtype)
+        variants.append(a)
     out = None
-    for _ in range(warmup):
-        out = fn(*args)
+    for i in range(warmup):
+        out = fn(*variants[i])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    for i in range(iters):
+        out = fn(*variants[i])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -85,7 +95,7 @@ def main():
         dt_g = bench(gath, flat_cl, idx)
         scat = jax.jit(lambda i, u: jnp.zeros((D ** 3, C), jnp.float32)
                        .at[i].add(u).sum())
-        dt_s = bench(scat, idx, upd)
+        dt_s = bench(scat, idx, upd, vary=1)
         # lane-padded scatter (one contiguous (8,128) tile row per update)
         # + pallas transpose_slice consumer — the production scatter path
         from poseprobe_tpu.ops.pallas import layout as PL
@@ -95,7 +105,7 @@ def main():
             d = jnp.zeros((D ** 3, 128), jnp.float32).at[i].add(up)
             return PL.transpose_slice(d, C).sum()
 
-        dt_sp = bench(jax.jit(scat_pad), idx, upd)
+        dt_sp = bench(jax.jit(scat_pad), idx, upd, vary=1)
         print(f"[{tag}] channels-last explicit: gather {dt_g*1e3:7.2f} ms   "
               f"scatter-add {dt_s*1e3:7.2f} ms   lane-padded scatter "
               f"{dt_sp*1e3:7.2f} ms  ({N*8} rows)", flush=True)
