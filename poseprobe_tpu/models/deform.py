@@ -43,22 +43,31 @@ def deform_with_jacobian_fwd(params: dict, pts: jnp.ndarray):
     Returns (deform [..., 3], correction [..., 1],
              jac_warp [..., 3, 3] with jac[..., j, i] = d(pts+deform)_i/d pts_j,
              grad_corr [..., 3]).
-    Three JVPs through the small MLP — no backward graphs, so the outer loss
-    backward stays first-order (vs. the reference's create_graph=True VJPs).
-    """
-    def f(p):
-        d, c = apply_deform(params, p)
-        return jnp.concatenate([d, c], axis=-1)  # [..., 4]
 
-    primal = f(pts)
-    rows = []
+    One shared forward pass propagates the primal and ALL THREE basis
+    tangents together (the ReLU masks are computed once and reused), instead
+    of three separate `jax.jvp` re-traversals — 4 matmul passes instead of 7,
+    and the tangent matmuls batch as one [..., 3, H] contraction. No backward
+    graphs, so the outer loss backward stays first-order (vs. the reference's
+    create_graph=True VJPs, `lib/voxurf_coarse.py:972-984`).
+    """
+    layers = params["layers"]
+    scale = params["output_range"]
+    h = pts                                            # [..., 3]
     eye = jnp.eye(3, dtype=pts.dtype)
-    for j in range(3):
-        t = jnp.broadcast_to(eye[j], pts.shape)
-        _, jv = jax.jvp(f, (pts,), (t,))
-        rows.append(jv)
-    jac4 = jnp.stack(rows, axis=-2)  # [..., 3(in), 4(out)]
-    deform, correction = primal[..., :3], primal[..., 3:]
+    tang = jnp.broadcast_to(eye, pts.shape[:-1] + (3, 3))  # [..., 3(in), 3]
+    pre = h
+    for i, layer in enumerate(layers):
+        w, b = layer["w"], layer["b"]
+        pre = h @ w + b                                # [..., out]
+        tang = tang @ w                                # [..., 3(in), out]
+        if i < len(layers) - 1:
+            mask = pre > 0
+            h = jnp.where(mask, pre, 0.0)
+            tang = jnp.where(mask[..., None, :], tang, 0.0)
+    out = pre * scale                                  # [..., 4]
+    jac4 = tang * scale                                # [..., 3(in), 4(out)]
+    deform, correction = out[..., :3], out[..., 3:]
     jac_warp = jac4[..., :3] + eye  # + identity: d(pts + deform)/d pts
     grad_corr = jac4[..., 3]
     return deform, correction, jac_warp, grad_corr

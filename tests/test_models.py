@@ -141,6 +141,48 @@ class TestDeform:
         _, _, jac = deform.deform_with_jacobian(p, pts)  # [N, 3in, 3out]
         np.testing.assert_allclose(np.asarray(jac), np.asarray(jnp.swapaxes(jac_ref, -1, -2)), atol=1e-5)
 
+    def test_fused_jacobian_fwd_matches_jacfwd(self):
+        """deform_with_jacobian_fwd (shared-mask tangent propagation) against
+        plain jacfwd of apply_deform, incl. the outer backward (the renderer
+        differentiates through jac_warp for the grad_deform prior)."""
+        p = deform.init_deform_params(jax.random.PRNGKey(2), output_range=1.3)
+        for li in range(len(p["layers"])):
+            p["layers"][li]["w"] = p["layers"][li]["w"] + jax.random.normal(
+                jax.random.PRNGKey(10 + li), p["layers"][li]["w"].shape) * 0.05
+        pts = jax.random.normal(jax.random.PRNGKey(4), (7, 3))
+
+        def full(q):
+            d, c = deform.apply_deform(p, q)
+            return jnp.concatenate([d, c], -1)
+
+        jac_ref = jax.vmap(jax.jacfwd(lambda q: full(q[None])[0]))(pts)  # [N, 4out, 3in]
+        d, c, jw, gc = deform.deform_with_jacobian_fwd(p, pts)
+        d_ref, c_ref = deform.apply_deform(p, pts)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-5)
+        jw_ref = jnp.swapaxes(jac_ref[:, :3, :], -1, -2) + jnp.eye(3)
+        np.testing.assert_allclose(np.asarray(jw), np.asarray(jw_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(jac_ref[:, 3, :]), atol=1e-5)
+
+        # outer VJP parity: grad of a jac_warp-dependent scalar w.r.t. params
+        def loss_fused(params):
+            _, _, jw, gc = deform.deform_with_jacobian_fwd(params, pts)
+            return (jw ** 2).sum() + (gc ** 2).sum()
+
+        def loss_ref(params):
+            def full_p(q):
+                d, c = deform.apply_deform(params, q)
+                return jnp.concatenate([d, c], -1)
+            jac = jax.vmap(jax.jacfwd(lambda q: full_p(q[None])[0]))(pts)
+            jw = jnp.swapaxes(jac[:, :3, :], -1, -2) + jnp.eye(3)
+            return (jw ** 2).sum() + (jac[:, 3, :] ** 2).sum()
+
+        g1 = jax.grad(loss_fused)(p)
+        g2 = jax.grad(loss_ref)(p)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
 
 class TestSceneNeRF:
     CFG = scene_nerf.SceneConfig(layers_feat=(32,) * 5, layers_rgb=(16, 3), skip=(2,),
