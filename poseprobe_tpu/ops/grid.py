@@ -39,16 +39,16 @@ def _pin_layout() -> bool:
 
 
 def _rows_from_grid(grid: jnp.ndarray) -> jnp.ndarray:
-    """[C, X, Y, Z] -> flat [V, C] rows, physically row-major."""
+    """[C, X, Y, Z] -> flat [V, C] rows for the corner gather.
+
+    No layout pin here: the profiled gather is happy with whatever layout XLA
+    picks for its operand (13-ch corner gather: 2.1 ms/step at 467k rows),
+    and pinning row-major via pallas made XLA insert a copy BACK to the
+    gather's preferred {0,1} (+1.3 ms/step measured). The scatter side is
+    the serialization-bound one — see `_scatter_rows_to_grid`."""
     C = grid.shape[0]
-    flat = grid.reshape(C, -1)
-    if C > 1 and _pin_layout():
-        return pallas_layout.transpose2d(flat)
-    flat = flat.T
+    flat = grid.reshape(C, -1).T
     if C > 1:
-        # best-effort on non-TPU paths: discourage (but cannot forbid —
-        # barriers are layout-transparent) folding the transpose into the
-        # gather operand layout
         flat = jax.lax.optimization_barrier(flat)
     return flat
 
