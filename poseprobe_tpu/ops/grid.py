@@ -66,9 +66,45 @@ def _grid_from_rows(d_flat: jnp.ndarray, gshape) -> jnp.ndarray:
 _LANE = 128  # TPU lane width: full-tile-row scatter updates (see below)
 
 
-def _scatter_rows_to_grid(idx: jnp.ndarray, contrib: jnp.ndarray,
+def _use_window_ops() -> bool:
+    """(2,2,2) block gather/scatter instead of 8 per-corner rows.
+
+    The 8 corners of a trilerp cell form one [2,2,2] window, so a window
+    gather / window scatter-add does the same memory work with 8x fewer
+    index entries (per-row serialization is the floor for these ops — see
+    `benchmarks/microbench_window.py`). Opt-in via POSEPROBE_WINDOW_GRIDOPS
+    until measured on hardware."""
+    return os.environ.get("POSEPROBE_WINDOW_GRIDOPS", "0") == "1"
+
+
+def _starts_from_idx8(idx8: jnp.ndarray, gshape) -> jnp.ndarray:
+    """Recover per-point (x0, y0, z0) window starts from the corner ids."""
+    _, X, Y, Z = gshape
+    base = idx8[:, 0]
+    x0 = base // (Y * Z)
+    rem = base % (Y * Z)
+    return jnp.stack([x0, rem // Z, rem % Z], axis=-1)  # [N, 3]
+
+
+def _gather_corners_window(flat: jnp.ndarray, idx8: jnp.ndarray, gshape):
+    """[V, C] rows + corner ids -> [N, 8, C] via one (2,2,2[,C]) window gather."""
+    C, X, Y, Z = gshape
+    starts = _starts_from_idx8(idx8, gshape)
+    op = flat.reshape(X, Y, Z, C)
+    dn = jax.lax.GatherDimensionNumbers(offset_dims=(1, 2, 3, 4),
+                                        collapsed_slice_dims=(),
+                                        start_index_map=(0, 1, 2))
+    out = jax.lax.gather(op, starts, dn, slice_sizes=(2, 2, 2, C),
+                         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    # corner order bit0=+z, bit1=+y, bit2=+x == row-major (x, y, z) flatten
+    return out.reshape(idx8.shape[0], 8, C)
+
+
+def _scatter_rows_to_grid(idx8: jnp.ndarray, contrib: jnp.ndarray,
                           gshape) -> jnp.ndarray:
-    """Scatter-add [M, C] rows at flat voxel ids `idx` -> grid [C, X, Y, Z].
+    """Scatter-add per-corner contributions -> grid [C, X, Y, Z].
+
+    idx8: [N, 8] flat corner voxel ids; contrib: [N, 8, C].
 
     A multi-channel scatter into [V, C<128] costs ~C x the scalar per-row
     floor on TPU (measured 59.9 ms vs 8.4 ms for C=12 vs C=1 at 925k rows:
@@ -76,14 +112,34 @@ def _scatter_rows_to_grid(idx: jnp.ndarray, contrib: jnp.ndarray,
     single-lane stores). Padding the update rows to the full 128-lane tile
     makes each update one contiguous (8,128) tile row at the scalar cost;
     the pallas transpose_slice consumer then drops the pad lanes and pins
-    the scatter output row-major (custom-call boundary)."""
+    the scatter output row-major (custom-call boundary). With
+    POSEPROBE_WINDOW_GRIDOPS the 8 corner rows collapse further into ONE
+    (2,2,2) window update per point."""
     C = gshape[0]
+    N = idx8.shape[0]
     V = int(np.prod(gshape[1:]))
+    if _use_window_ops():
+        X, Y, Z = gshape[1:]
+        starts = _starts_from_idx8(idx8, gshape)
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3, 4), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1, 2))
+        P = _LANE if (C > 1 and _pin_layout()) else C
+        up = contrib if P == C else jnp.pad(contrib, ((0, 0), (0, 0), (0, P - C)))
+        d4 = jax.lax.scatter_add(
+            jnp.zeros((X, Y, Z, P), contrib.dtype), starts,
+            up.reshape(N, 2, 2, 2, P), dn,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        if P == C:
+            return _grid_from_rows(d4.reshape(V, C), gshape)
+        return pallas_layout.transpose_slice(d4.reshape(V, P), C).reshape(gshape)
+    idx = idx8.reshape(-1)
+    flat_c = contrib.reshape(-1, C)
     if C > 1 and _pin_layout():
-        up = jnp.pad(contrib, ((0, 0), (0, _LANE - C)))
+        up = jnp.pad(flat_c, ((0, 0), (0, _LANE - C)))
         d = jnp.zeros((V, _LANE), contrib.dtype).at[idx].add(up)
         return pallas_layout.transpose_slice(d, C).reshape(gshape)
-    d_flat = jnp.zeros((V, C), contrib.dtype).at[idx].add(contrib)
+    d_flat = jnp.zeros((V, C), contrib.dtype).at[idx].add(flat_c)
     return _grid_from_rows(d_flat, gshape)
 
 
@@ -122,13 +178,11 @@ def _corner_data(grid: jnp.ndarray, xyz: jnp.ndarray, xyz_min: jnp.ndarray, xyz_
     base = (x0 * Y + y0) * Z + z0
     offs = jnp.asarray([0, 1, Z, Z + 1, Y * Z, Y * Z + 1, Y * Z + Z, Y * Z + Z + 1], jnp.int32)
     idx8 = base[:, None] + offs[None, :]  # [N, 8]
-    # channels-last rows, PINNED row-major (pallas transpose on TPU): without
-    # the pin, XLA folds the transpose into the gather's operand layout
-    # ({0,1} column-major), turning every per-point [C] row read into C
-    # strided cache-line touches. One 42 MB copy (~0.1 ms) buys contiguous
-    # rows (see ops/pallas/layout.py).
     flat = _rows_from_grid(grid)
-    vals = flat[idx8]  # [N, 8, C]
+    if _use_window_ops():
+        vals = _gather_corners_window(flat, idx8, grid.shape)  # [N, 8, C]
+    else:
+        vals = flat[idx8]  # [N, 8, C] per-corner row gather
     return vals, idx8, (wx[:, None], wy[:, None], wz[:, None]), (mx[:, None], my[:, None], mz[:, None]), scale
 
 
@@ -184,8 +238,8 @@ def _trilinear_value_bwd(res, ct):
     vals, idx8, w, m, scale, W, gshape = res
     C = gshape[0]
     # d grid: scatter W_c * ct into the 8 corners (one flat scatter)
-    contrib = (W[..., None] * ct[:, None, :]).reshape(-1, C)  # [8N, C]
-    d_grid = _scatter_rows_to_grid(idx8.reshape(-1), contrib, gshape)
+    contrib = W[..., None] * ct[:, None, :]  # [N, 8, C]
+    d_grid = _scatter_rows_to_grid(idx8, contrib, gshape)
     # d pts: sum_c sign_axis * (bilinear weights of other axes) * vals . ct
     wx, wy, wz = w
     mx, my, mz = m
@@ -400,7 +454,7 @@ def _trilinear_vg_bwd(res, cts):
         + (_SIGN_Y * AX * AZ * sym)[..., None] * ct_gy[:, None, :]
         + (_SIGN_Z * AX * AY * szm)[..., None] * ct_gz[:, None, :]
     )  # [N, 8, C]
-    d_grid = _scatter_rows_to_grid(idx8.reshape(-1), contrib.reshape(-1, C), gshape)
+    d_grid = _scatter_rows_to_grid(idx8, contrib, gshape)
 
     # --- d pts: differentiate the coefficient matrices w.r.t. wx/wy/wz ---
     v_ct_v = jnp.einsum("ncd,nd->nc", vals, ct_v)    # [N, 8]

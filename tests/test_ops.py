@@ -291,3 +291,33 @@ class TestSeparableConv:
         a = grid_ops.conv3d_separable_replicate(g, k1g)
         b = grid_ops.conv3d_replicate(g, k3g)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestWindowGridOps:
+    """POSEPROBE_WINDOW_GRIDOPS=1: (2,2,2) block gather/scatter parity."""
+
+    def test_window_vjps_match_row_path(self, monkeypatch):
+        from poseprobe_tpu.ops import grid as G
+
+        lo, hi = jnp.zeros(3), jnp.ones(3)
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (311, 3)) * 1.3 - 0.15
+
+        for C in (1, 12):
+            grid = jax.random.normal(jax.random.PRNGKey(C), (C, 9, 10, 11))
+
+            def loss(g, p):
+                return (G.trilinear_sample(g, p, lo, hi) ** 2).sum()
+
+            def loss_vg(g, p):
+                v, gr = G.trilinear_sample_with_grad(g, p, lo, hi)
+                return (v ** 2).sum() + (gr ** 2).sum()
+
+            ref = [jax.value_and_grad(loss, argnums=(0, 1))(grid, pts),
+                   jax.value_and_grad(loss_vg, argnums=(0, 1))(grid, pts)]
+            monkeypatch.setenv("POSEPROBE_WINDOW_GRIDOPS", "1")
+            win = [jax.value_and_grad(loss, argnums=(0, 1))(grid, pts),
+                   jax.value_and_grad(loss_vg, argnums=(0, 1))(grid, pts)]
+            monkeypatch.delenv("POSEPROBE_WINDOW_GRIDOPS")
+            for r, w in zip(jax.tree.leaves(ref), jax.tree.leaves(win)):
+                np.testing.assert_allclose(np.asarray(r), np.asarray(w),
+                                           atol=1e-5, rtol=1e-5)
