@@ -90,6 +90,11 @@ class CameraConfig:
     # left untouched (instrumented: the photo ratio re-armed warmup on good
     # poses and the blurry-render alignment damaged them, t 3.5 -> 37.5).
     activation_warmup_holdout_px: float = 0.0
+    # warmup optimizes rotation only (pure-rotation w2c refine keeps the
+    # camera center at PnP's solution): the warmup reliably fixes
+    # orientation but injects along-view translation against blurry renders;
+    # rotation must be right before its window closes, translation heals.
+    activation_warmup_rot_only: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -45,12 +45,21 @@ def test_time_pose_optim(
     seed: int = 0,
     progress: float = 1.0,
     use_fine: bool | None = None,
+    rot_only: bool = False,
 ) -> jnp.ndarray:
     """Optimize a per-image se3 refinement photometrically (`renderer.py:1312-1337`).
 
     Also reused by the trainer as an activation-time pose warmup (align a
     newly activated view against the current scene before joint training
     touches it); pass `use_fine=False` before the fine phase starts.
+
+    `rot_only=True` zeroes the translation tangent so the refine is a pure
+    rotation in w2c composition — which keeps the camera CENTER invariant
+    (C = -R^T t is unchanged by [R_r|0] ∘ [R|t]). Rationale: warmup against
+    a blurry early-BARF render reliably fixes orientation but injects
+    along-view-axis translation error (instrumented: t 6.6 -> 20.9 while
+    R 2.2 -> 0.03); rotation must be right before its optimization window
+    closes, while translation self-heals during the longer trans window.
     """
     if use_fine is None:
         use_fine = scene_cfg.fine_sampling
@@ -68,7 +77,11 @@ def test_time_pose_optim(
 
         def loss_fn(se3):
             refine = lie.se3_to_SE3(se3)[0]
-            pose = pose_ops.compose_pair(refine, pose_w2c_init)
+            # rot_only: camera-side composition (refine AFTER world->cam), so
+            # a zero-translation refine keeps the camera center exactly; the
+            # default mirrors the reference's world-side refine
+            pose = (pose_ops.compose_pair(pose_w2c_init, refine) if rot_only
+                    else pose_ops.compose_pair(refine, pose_w2c_init))
             center, ray = rays_mod.get_center_and_ray_at_pixels(pose[None], pixels, K[None])
             rets = scene_nerf.render_rays(scene_params, scene_cfg, center, ray,
                                           depth_range, progress=progress, rng=None,
@@ -79,6 +92,8 @@ def test_time_pose_optim(
             return ((rgb[0] - target) ** 2).mean()
 
         loss, g = jax.value_and_grad(loss_fn)(se3)
+        if rot_only:
+            g = g.at[..., 3:].set(0.0)  # se3 = [w | u]; freeze u
         up, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(se3, up), opt_state, loss
 
@@ -87,6 +102,8 @@ def test_time_pose_optim(
         key, sub = jax.random.split(key)
         se3, opt_state, _ = step(se3, opt_state, sub)
     refine = lie.se3_to_SE3(se3)[0]
+    if rot_only:
+        return pose_ops.compose_pair(pose_w2c_init, refine)
     return pose_ops.compose_pair(refine, pose_w2c_init)
 
 

@@ -80,6 +80,9 @@ def parse_args():
                    help="photometric second opinion on the warmup gate + "
                         "accept-if-better guard (CameraConfig."
                         "activation_warmup_photo_ratio; try 4)")
+    p.add_argument("--warmup_rot_only", action="store_true",
+                   help="warmup optimizes rotation only, keeping PnP's "
+                        "camera center (CameraConfig.activation_warmup_rot_only)")
     p.add_argument("--warmup_holdout", type=float, default=0.0,
                    help="geometric second opinion: re-arm warmup when PnP's "
                         "holdout cross-validation error exceeds this many px "
@@ -211,6 +214,10 @@ def main():
             cfg, camera=dataclasses.replace(
                 cfg.camera,
                 activation_warmup_holdout_px=args.warmup_holdout))
+    if args.warmup_rot_only:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(
+                cfg.camera, activation_warmup_rot_only=True))
     if args.incremental_step:
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,

@@ -2,6 +2,7 @@
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -309,3 +310,24 @@ class TestScenePnPAnchor:
         t_err = np.linalg.norm(pose[:, 3] - gt[new_idx][:, 3])
         assert float(R_err[0]) < 1.0, R_err
         assert t_err < 0.05, t_err
+
+
+class TestRotOnlyWarmup:
+    def test_rot_only_preserves_camera_center(self, scene_data):
+        """test_time_pose_optim(rot_only=True) must keep the camera center
+        exactly (pure-rotation w2c refine: C = -R^T t is invariant)."""
+        from poseprobe_tpu.eval import evaluator
+
+        cfg = tiny_config(scene_data)
+        tr = JointTrainer(cfg, scene_data)
+        pose0 = np.asarray(tr.current_pose())[1]
+        out = np.asarray(evaluator.test_time_pose_optim(
+            tr.state.scene_params, cfg.scene_model, jnp.asarray(pose0),
+            tr.Ks[1], tr.images[1], (scene_data.near, scene_data.far),
+            n_iters=4, lr=1e-2, rand_rays=256, progress=0.1, use_fine=False,
+            rot_only=True))
+        c0 = -pose0[:, :3].T @ pose0[:, 3]
+        c1 = -out[:, :3].T @ out[:, 3]
+        np.testing.assert_allclose(c1, c0, atol=1e-5)
+        # and the rotation actually moved (grads flowed)
+        assert not np.allclose(out[:, :3], pose0[:, :3], atol=1e-7)
