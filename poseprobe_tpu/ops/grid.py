@@ -66,15 +66,26 @@ def _grid_from_rows(d_flat: jnp.ndarray, gshape) -> jnp.ndarray:
 _LANE = 128  # TPU lane width: full-tile-row scatter updates (see below)
 
 
-def _use_window_ops() -> bool:
-    """(2,2,2) block gather/scatter instead of 8 per-corner rows.
+def _use_window_scatter() -> bool:
+    """(2,2,2) window scatter-add instead of 8 per-corner row updates.
 
     The 8 corners of a trilerp cell form one [2,2,2] window, so a window
-    gather / window scatter-add does the same memory work with 8x fewer
-    index entries (per-row serialization is the floor for these ops — see
-    `benchmarks/microbench_window.py`). Opt-in via POSEPROBE_WINDOW_GRIDOPS
-    until measured on hardware."""
-    return os.environ.get("POSEPROBE_WINDOW_GRIDOPS", "0") == "1"
+    scatter-add does the same memory work with 8x fewer index entries.
+    Measured on TPU v5e (`benchmarks/microbench_window.py`, 58k pts, 96^3):
+    C=1 scalar rows 3.63 ms -> window 0.10 ms; padded 128-lane rows
+    0.66 ms -> window 0.21 ms. Default ON; POSEPROBE_WINDOW_SCATTER=0 is
+    the A/B kill switch."""
+    return os.environ.get("POSEPROBE_WINDOW_SCATTER", "1") != "0"
+
+
+def _use_window_gather() -> bool:
+    """(2,2,2) window gather instead of 8 per-corner row gathers.
+
+    Measured SLOWER on TPU v5e (same microbench: C=1 0.10 -> 0.38 ms,
+    C=13 rows 0.08 -> 0.40 ms — XLA's gather emitter handles row gathers
+    well already), so default OFF; POSEPROBE_WINDOW_GATHER=1 re-enables
+    for experiments."""
+    return os.environ.get("POSEPROBE_WINDOW_GATHER", "0") == "1"
 
 
 def _starts_from_idx8(idx8: jnp.ndarray, gshape) -> jnp.ndarray:
@@ -112,13 +123,13 @@ def _scatter_rows_to_grid(idx8: jnp.ndarray, contrib: jnp.ndarray,
     single-lane stores). Padding the update rows to the full 128-lane tile
     makes each update one contiguous (8,128) tile row at the scalar cost;
     the pallas transpose_slice consumer then drops the pad lanes and pins
-    the scatter output row-major (custom-call boundary). With
-    POSEPROBE_WINDOW_GRIDOPS the 8 corner rows collapse further into ONE
-    (2,2,2) window update per point."""
+    the scatter output row-major (custom-call boundary). By default the 8
+    corner rows collapse further into ONE (2,2,2) window update per point
+    (see `_use_window_scatter`)."""
     C = gshape[0]
     N = idx8.shape[0]
     V = int(np.prod(gshape[1:]))
-    if _use_window_ops():
+    if _use_window_scatter():
         X, Y, Z = gshape[1:]
         starts = _starts_from_idx8(idx8, gshape)
         dn = jax.lax.ScatterDimensionNumbers(
@@ -179,7 +190,7 @@ def _corner_data(grid: jnp.ndarray, xyz: jnp.ndarray, xyz_min: jnp.ndarray, xyz_
     offs = jnp.asarray([0, 1, Z, Z + 1, Y * Z, Y * Z + 1, Y * Z + Z, Y * Z + Z + 1], jnp.int32)
     idx8 = base[:, None] + offs[None, :]  # [N, 8]
     flat = _rows_from_grid(grid)
-    if _use_window_ops():
+    if _use_window_gather():
         vals = _gather_corners_window(flat, idx8, grid.shape)  # [N, 8, C]
     else:
         vals = flat[idx8]  # [N, 8, C] per-corner row gather

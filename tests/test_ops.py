@@ -294,7 +294,11 @@ class TestSeparableConv:
 
 
 class TestWindowGridOps:
-    """POSEPROBE_WINDOW_GRIDOPS=1: (2,2,2) block gather/scatter parity."""
+    """(2,2,2) block gather/scatter parity vs the per-corner row path.
+
+    Window scatter is the default (measured 36x/3x faster on TPU v5e);
+    window gather is opt-in (measured slower). Both variants must agree
+    with the plain row path bit-for-bit-ish."""
 
     def test_window_vjps_match_row_path(self, monkeypatch):
         from poseprobe_tpu.ops import grid as G
@@ -312,12 +316,15 @@ class TestWindowGridOps:
                 v, gr = G.trilinear_sample_with_grad(g, p, lo, hi)
                 return (v ** 2).sum() + (gr ** 2).sum()
 
+            monkeypatch.setenv("POSEPROBE_WINDOW_SCATTER", "0")
             ref = [jax.value_and_grad(loss, argnums=(0, 1))(grid, pts),
                    jax.value_and_grad(loss_vg, argnums=(0, 1))(grid, pts)]
-            monkeypatch.setenv("POSEPROBE_WINDOW_GRIDOPS", "1")
+            monkeypatch.setenv("POSEPROBE_WINDOW_SCATTER", "1")
+            monkeypatch.setenv("POSEPROBE_WINDOW_GATHER", "1")
             win = [jax.value_and_grad(loss, argnums=(0, 1))(grid, pts),
                    jax.value_and_grad(loss_vg, argnums=(0, 1))(grid, pts)]
-            monkeypatch.delenv("POSEPROBE_WINDOW_GRIDOPS")
+            monkeypatch.delenv("POSEPROBE_WINDOW_GATHER")
+            monkeypatch.delenv("POSEPROBE_WINDOW_SCATTER")
             for r, w in zip(jax.tree.leaves(ref), jax.tree.leaves(win)):
                 np.testing.assert_allclose(np.asarray(r), np.asarray(w),
                                            atol=1e-5, rtol=1e-5)
