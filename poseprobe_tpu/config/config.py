@@ -95,6 +95,17 @@ class CameraConfig:
     # orientation but injects along-view translation against blurry renders;
     # rotation must be right before its window closes, translation heals.
     activation_warmup_rot_only: bool = False
+    # catastrophic-PnP rescue tournament (0 = off): RANSAC occasionally
+    # draws a degenerate solve that fits its anchors at sub-pixel error yet
+    # is wildly wrong (observed: med_reproj 0.3px but rel-pose R 35deg,
+    # t x100 126 — outside the photometric warmup's basin, so nothing
+    # downstream recovers and the whole run is lost). When > 0: after the
+    # warmup logic settles on a pose, if its fixed-ray photometric MSE still
+    # exceeds `ratio * MSE(previous, already-trained view)`, fall back to
+    # candidates anchored at the previous view's pose (raw + full-SE3
+    # warmup) and keep the photometric argmin. Never fires on healthy
+    # activations (their MSE passes the ratio), so it cannot degrade them.
+    activation_rescue_ratio: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

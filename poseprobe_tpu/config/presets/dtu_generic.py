@@ -25,7 +25,17 @@ def get_config(datadir: str = "./data/DTU", scan_id: int = 2,
         ),
         # coarse.py:36-41 — noisy-pose regime with PnP refinement
         camera=cfg_mod.CameraConfig(noise=0.15, barf_c2f=(0.6, 1.0),
-                                    incremental=True, incremental_step=800),
+                                    incremental=True, incremental_step=800,
+                                    # winning activation recipe from the
+                                    # round-3 schedule hunt (logs/run_journal/
+                                    # README_r3.md): guarded photometric
+                                    # warmup + catastrophic-PnP rescue.
+                                    # 6-view synthetic: R 0.028deg / t 5.25 /
+                                    # PSNR 31.9 vs 2.16/9.09/30.6 without
+                                    activation_pose_warmup=100,
+                                    activation_warmup_gate_px=8.0,
+                                    activation_warmup_photo_ratio=4.0,
+                                    activation_rescue_ratio=10.0),
         pnp=cfg_mod.PnPConfig(use_pnp=True, ransac=True),
         world_bound_scale=1.5,
         object_model=ObjectConfig(

@@ -639,6 +639,38 @@ class JointTrainer:
             else:
                 new_pose = warm_pose
             self._log_activation_error(step, new_idx, cur, new_pose, "warmup")
+        rescue_ratio = cfg.camera.activation_rescue_ratio
+        if rescue_ratio > 0:
+            # catastrophic-PnP rescue: a degenerate RANSAC solve can land far
+            # outside the warmup's basin (observed: med_reproj 0.3px yet
+            # R 35deg off) — if the settled pose still renders much worse
+            # than the previous trained view, restart from that view's pose
+            s_final = photo_score(new_pose, new_idx)
+            s_ref = photo_score(cur[new_idx - 1], new_idx - 1)
+            if s_final > rescue_ratio * max(s_ref, 1e-8):
+                prev_pose = np.asarray(cur[new_idx - 1])
+                cands = [(s_final, new_pose, "kept"),
+                         (photo_score(prev_pose, new_idx), prev_pose, "prev")]
+                if cfg.camera.activation_pose_warmup > 0:
+                    # full-SE3 warmup: consecutive views differ in both R and
+                    # t, so the rot-only constraint does not apply here
+                    warm_prev = np.asarray(evaluator.test_time_pose_optim(
+                        self.state.scene_params, cfg.scene_model,
+                        jnp.asarray(prev_pose), self.Ks[new_idx],
+                        self.images[new_idx], (self.data.near, self.data.far),
+                        n_iters=cfg.camera.activation_pose_warmup,
+                        lr=cfg.camera.activation_warmup_lr,
+                        rand_rays=min(1024, self.H * self.W),
+                        progress=progress, use_fine=use_fine))
+                    cands.append((photo_score(warm_prev, new_idx), warm_prev,
+                                  "warm-prev"))
+                s_best, new_pose, tag = min(cands, key=lambda c: c[0])
+                print(f"[activate {step}] view {new_idx}: rescue tournament "
+                      f"(mse {s_final:.4f} > {rescue_ratio:g}x ref {s_ref:.4f})"
+                      f" -> {tag} (mse {s_best:.4f})")
+                if tag != "kept":
+                    self._log_activation_error(step, new_idx, cur, new_pose,
+                                               f"rescue:{tag}")
         poses_pnp = np.asarray(self.state.poses_pnp).copy()
         poses_pnp[new_idx] = new_pose
         self.state.poses_pnp = jnp.asarray(poses_pnp)

@@ -87,6 +87,12 @@ def parse_args():
                    help="geometric second opinion: re-arm warmup when PnP's "
                         "holdout cross-validation error exceeds this many px "
                         "(CameraConfig.activation_warmup_holdout_px; try 2)")
+    p.add_argument("--warmup_rescue", type=float, default=0.0,
+                   help="catastrophic-PnP rescue: if the settled activation "
+                        "pose renders worse than this ratio x the previous "
+                        "view's MSE, fall back to the previous pose (+SE3 "
+                        "warmup), photometric argmin "
+                        "(CameraConfig.activation_rescue_ratio; try 10)")
     p.add_argument("--maskcache", action="store_true",
                    help="enable object-branch free-space skipping "
                         "(ObjectConfig.use_maskcache; -41 ms/step measured)")
@@ -218,6 +224,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(
                 cfg.camera, activation_warmup_rot_only=True))
+    if args.warmup_rescue:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(
+                cfg.camera, activation_rescue_ratio=args.warmup_rescue))
     if args.incremental_step:
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,

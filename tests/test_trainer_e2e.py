@@ -233,6 +233,26 @@ class TestSixViews:
         for h in hist:
             assert np.isfinite(h["loss_total"])
 
+    def test_catastrophic_pnp_rescue(self, scene_data, capsys):
+        """activation_rescue_ratio: a settled activation pose that renders
+        much worse than the previous trained view triggers the fallback
+        tournament (previous pose + full-SE3 warmup, photometric argmin) —
+        the backstop for degenerate RANSAC solves that reproject at
+        sub-pixel error yet are tens of degrees wrong."""
+        cfg = tiny_config(scene_data, max_iter=80, n_iters_obj=80, incremental_step=30)
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(
+                cfg.camera, activation_pose_warmup=3, activation_warmup_lr=1e-3,
+                activation_rescue_ratio=1e-6))  # fires on every activation
+        tr = JointTrainer(cfg, scene_data)
+        hist = tr.fit(80, log_every=40)
+        assert tr.state.n_active == 3
+        out = capsys.readouterr().out
+        assert "rescue tournament" in out
+        assert np.isfinite(np.asarray(tr.state.poses_pnp)).all()
+        for h in hist:
+            assert np.isfinite(h["loss_total"])
+
     def test_photometric_pose_score_deterministic(self, scene_data):
         from poseprobe_tpu.eval import evaluator
 
