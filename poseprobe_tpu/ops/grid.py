@@ -71,11 +71,14 @@ def _use_window_scatter() -> bool:
 
     The 8 corners of a trilerp cell form one [2,2,2] window, so a window
     scatter-add does the same memory work with 8x fewer index entries.
-    Measured on TPU v5e (`benchmarks/microbench_window.py`, 58k pts, 96^3):
-    C=1 scalar rows 3.63 ms -> window 0.10 ms; padded 128-lane rows
-    0.66 ms -> window 0.21 ms. Default ON; POSEPROBE_WINDOW_SCATTER=0 is
-    the A/B kill switch."""
-    return os.environ.get("POSEPROBE_WINDOW_SCATTER", "1") != "0"
+    The isolated microbench wins (`benchmarks/microbench_window.py`, 58k
+    pts, 96^3: C=1 scalar rows 3.63 ms -> window 0.10 ms; padded 128-lane
+    rows 0.66 ms -> window 0.21 ms) did NOT transfer to the full train
+    step: with this default ON the early-phase joint step regressed
+    43.7 ms -> 800 ms on TPU v5e (logs/r3_queue/bench7.log vs bench8.log —
+    XLA serializes the 4D-window scatter inside the fused grad graph),
+    so it is opt-in via POSEPROBE_WINDOW_SCATTER=1 for experiments only."""
+    return os.environ.get("POSEPROBE_WINDOW_SCATTER", "0") == "1"
 
 
 def _use_window_gather() -> bool:

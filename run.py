@@ -96,6 +96,11 @@ def parse_args():
     p.add_argument("--maskcache", action="store_true",
                    help="enable object-branch free-space skipping "
                         "(ObjectConfig.use_maskcache; -41 ms/step measured)")
+    p.add_argument("--pg_scale", type=str, default="",
+                   help="comma-separated step checkpoints for progressive grid "
+                        "scaling: start at num_voxels/2^len, double the voxel "
+                        "count at each step (ObjectTrainConfig.pg_scale, "
+                        "reference configs/default_fine_s.py:70; try 500,1000)")
     p.add_argument("--pose_trans_window", type=float, default=0.0,
                    help="override SceneTrainConfig.ratio_end_pose_trans: keep "
                         "refining pose TRANSLATION until this ratio while "
@@ -228,6 +233,11 @@ def main():
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(
                 cfg.camera, activation_rescue_ratio=args.warmup_rescue))
+    if args.pg_scale:
+        cfg = dataclasses.replace(
+            cfg, object_train=dataclasses.replace(
+                cfg.object_train,
+                pg_scale=tuple(int(s) for s in args.pg_scale.split(","))))
     if args.incremental_step:
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,
