@@ -23,6 +23,8 @@ def main():
     p.add_argument("--ckpt", type=str, required=True)
     p.add_argument("--out_dir", type=str, default="")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--n_views", type=int, default=0,
+                   help="synthetic-only: number of training views the ckpt was trained with")
     p.add_argument("--no_test_optim", action="store_true")
     p.add_argument("--render_video", action="store_true")
     p.add_argument("--eval_mesh", action="store_true")
@@ -42,7 +44,10 @@ def main():
     from poseprobe_tpu.train.trainer import JointTrainer
 
     cfg = run_mod.load_config(args)
-    data = load_data(cfg.data, matcher_backend=args.matcher)
+    loader_kwargs = {}
+    if args.n_views and cfg.data.dataset_type == "synthetic":
+        loader_kwargs["n_train"] = args.n_views
+    data = load_data(cfg.data, matcher_backend=args.matcher, **loader_kwargs)
     trainer = JointTrainer(cfg, data)
     payload = state_mod.load_checkpoint(args.ckpt)
     trainer.state = state_mod.restore_state(trainer.state, payload)

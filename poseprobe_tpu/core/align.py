@@ -9,8 +9,16 @@ Reproduces the reference evaluation machinery:
 * `backtrack_from_aligning_the_trajectory` (`eval.py:815-821`)
 * `evaluate_camera_alignment` R(deg)/t(x100) errors (`lib/recon_scene.py:79-91`)
 
-These run at init/eval time (not in the hot loop); plain jnp with host-side
-numpy fallbacks for SVD robustness.
+All of this runs at init/eval time (never in the hot loop) on HOST NUMPY IN
+FLOAT64 — deliberately not jnp. On TPU, f32 jnp matmuls execute as bf16-pass
+arithmetic by default; for the tiny pose chains here (R1 @ R2^T traces,
+4x4 inverses, sim3 composition) that injects ~1e-3 per-entry noise, which is
+~2 DEGREES of rotation-angle noise at the arccos boundary and several
+x100-units of translation noise, enough to flip the pairwise-anchor argmin
+between gauges step to step (observed: the same checkpoint measured
+R 0.58/t 11.3 on TPU vs R 0.44/t 5.8 on CPU f32 vs the true f64
+R 2.1/t 4.0 under different anchors). Metrics and the test-pose gauge
+mapping must be exact; 6-10 poses cost microseconds on host.
 """
 from __future__ import annotations
 
@@ -19,7 +27,23 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from . import lie, pose as pose_ops
+
+def _np64(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float64)
+
+
+def _invert(P: np.ndarray) -> np.ndarray:
+    """Rigid inverse of [N, 3, 4] (or [3, 4]) pose matrices."""
+    R, t = P[..., :3, :3], P[..., :3, 3:]
+    Rt = np.swapaxes(R, -2, -1)
+    return np.concatenate([Rt, -Rt @ t], axis=-1)
+
+
+def _pad(P: np.ndarray) -> np.ndarray:
+    """[..., 3, 4] -> [..., 4, 4] homogeneous."""
+    bottom = np.zeros(P.shape[:-2] + (1, 4), dtype=P.dtype)
+    bottom[..., 0, 3] = 1.0
+    return np.concatenate([P, bottom], axis=-2)
 
 
 @dataclasses.dataclass
@@ -27,29 +51,33 @@ class Sim3:
     """Similarity transform estimated from aligned camera sets.
 
     Applies as: aligned_c2w_t = R @ (s * t) + t0 (exact form depends on `type`).
+    Fields are host float64 numpy.
     """
 
-    R: jnp.ndarray  # [1, 3, 3]
-    t: jnp.ndarray  # [1, 3, 1]
+    R: np.ndarray  # [1, 3, 3]
+    t: np.ndarray  # [1, 3, 1]
     s: float
     type: str = "traj_align"
 
 
-def procrustes_analysis(X0: jnp.ndarray, X1: jnp.ndarray):
+def procrustes_analysis(X0, X1):
     """Similarity alignment of point sets [N, 3]: X1to0 = (X1-t1)/s1 @ R.T * s0 + t0."""
+    X0, X1 = _np64(X0), _np64(X1)
     t0 = X0.mean(axis=0, keepdims=True)
     t1 = X1.mean(axis=0, keepdims=True)
     X0c, X1c = X0 - t0, X1 - t1
-    s0 = jnp.sqrt((X0c**2).sum(axis=-1).mean())
-    s1 = jnp.sqrt((X1c**2).sum(axis=-1).mean())
-    U, _, Vt = jnp.linalg.svd((X0c / s0).T @ (X1c / s1))
+    s0 = np.sqrt((X0c**2).sum(axis=-1).mean())
+    s1 = np.sqrt((X1c**2).sum(axis=-1).mean())
+    U, _, Vt = np.linalg.svd((X0c / s0).T @ (X1c / s1))
     R = U @ Vt
-    R = R * jnp.where(jnp.linalg.det(R) < 0, jnp.array([1.0, 1.0, -1.0]), 1.0)[None, :]
+    if np.linalg.det(R) < 0:
+        R = R * np.array([1.0, 1.0, -1.0])[None, :]
     return dict(t0=t0[0], t1=t1[0], s0=s0, s1=s1, R=R)
 
 
 def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = True):
     """Least-squares sim3: y ~= s * R @ x + t. x, y: [3, N]. Returns (R, t, s)."""
+    x, y = _np64(x), _np64(y)
     mean_x = x.mean(axis=1, keepdims=True)
     mean_y = y.mean(axis=1, keepdims=True)
     n = x.shape[1]
@@ -65,76 +93,84 @@ def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale: bool = True):
     return R, t[:, 0], s
 
 
-def align_ate_c2b_use_a2b(traj_a_c2w: jnp.ndarray, traj_b_c2w: jnp.ndarray):
+def align_ate_c2b_use_a2b(traj_a_c2w, traj_b_c2w):
     """Align trajectory a to b with a sim3 over camera centers (method='sim3').
 
-    traj_*: [N, 3, 4] c2w. Returns (aligned c2w [N, 4, 4], Sim3).
+    traj_*: [N, 3, 4] c2w. Returns (aligned c2w [N, 4, 4] f64, Sim3).
     """
-    ta = np.asarray(traj_a_c2w[:, :3, 3]).T  # [3, N]
-    tb = np.asarray(traj_b_c2w[:, :3, 3]).T
+    traj_a_c2w, traj_b_c2w = _np64(traj_a_c2w), _np64(traj_b_c2w)
+    ta = traj_a_c2w[:, :3, 3].T  # [3, N]
+    tb = traj_b_c2w[:, :3, 3].T
     R, t, s = umeyama_alignment(ta, tb, with_scale=True)
-    R_j = jnp.asarray(R, dtype=jnp.float32)
-    t_j = jnp.asarray(t, dtype=jnp.float32)
     R_a = traj_a_c2w[:, :3, :3]
     t_a = traj_a_c2w[:, :3, 3:]
-    R_aligned = R_j[None] @ R_a
-    t_aligned = s * (R_j[None] @ t_a) + t_j.reshape(1, 3, 1)
-    aligned = pose_ops.pad(jnp.concatenate([R_aligned, t_aligned], axis=-1))
-    sim3 = Sim3(R=R_j[None], t=t_j.reshape(1, 3, 1), s=s, type="traj_align")
+    R_aligned = R[None] @ R_a
+    t_aligned = s * (R[None] @ t_a) + t.reshape(1, 3, 1)
+    aligned = _pad(np.concatenate([R_aligned, t_aligned], axis=-1))
+    sim3 = Sim3(R=R[None], t=t.reshape(1, 3, 1), s=s, type="traj_align")
     return aligned, sim3
 
 
-def evaluate_camera_alignment(pose_aligned_w2c: jnp.ndarray, pose_GT_w2c: jnp.ndarray):
-    """Rotation (deg) and translation (x100) errors between aligned and GT w2c poses."""
-    pose_aligned_c2w = pose_ops.invert(pose_aligned_w2c)
-    pose_GT_c2w = pose_ops.invert(pose_GT_w2c)
+def evaluate_camera_alignment(pose_aligned_w2c, pose_GT_w2c):
+    """Rotation (deg) and translation (x100) errors between aligned and GT w2c poses.
+
+    Host float64: the bf16-pass trace of R1 @ R2^T on TPU carries ~2 deg of
+    noise at small angles, and arccos amplifies it (see module docstring).
+    """
+    pose_aligned_c2w = _invert(_np64(pose_aligned_w2c))
+    pose_GT_c2w = _invert(_np64(pose_GT_w2c))
     R_aligned, t_aligned = pose_aligned_c2w[..., :3], pose_aligned_c2w[..., 3]
     R_GT, t_GT = pose_GT_c2w[..., :3], pose_GT_c2w[..., 3]
-    R_error = lie.rotation_distance(R_aligned, R_GT) * 180.0 / np.pi
-    t_error = jnp.linalg.norm(t_aligned - t_GT, axis=-1) * 100.0
+    trace = np.einsum("...ij,...ij->...", R_aligned, R_GT)  # tr(Ra @ Rgt^T)
+    R_error = np.degrees(np.arccos(np.clip((trace - 1.0) / 2.0, -1.0, 1.0)))
+    t_error = np.linalg.norm(t_aligned - t_GT, axis=-1) * 100.0
     return dict(R=R_error, t=t_error)
 
 
-def prealign_w2c_large_camera_systems(pose_w2c: jnp.ndarray, pose_GT_w2c: jnp.ndarray):
+def prealign_w2c_large_camera_systems(pose_w2c, pose_GT_w2c):
     """Sim3 trajectory alignment; identity fallback if SVD fails."""
-    pose_c2w = pose_ops.invert(pose_w2c)
-    pose_GT_c2w = pose_ops.invert(pose_GT_w2c)
+    pose_c2w = _invert(_np64(pose_w2c))
+    pose_GT_c2w = _invert(_np64(pose_GT_w2c))
     try:
         aligned_c2w, sim3 = align_ate_c2b_use_a2b(pose_c2w, pose_GT_c2w)
-        pose_aligned_w2c = pose_ops.invert(aligned_c2w[:, :3])
+        pose_aligned_w2c = _invert(aligned_c2w[:, :3])
     except Exception:
-        pose_aligned_w2c = pose_w2c
-        sim3 = Sim3(R=jnp.eye(3)[None], t=jnp.zeros((1, 3, 1)), s=1.0)
+        pose_aligned_w2c = _np64(pose_w2c)
+        sim3 = Sim3(R=np.eye(3)[None], t=np.zeros((1, 3, 1)), s=1.0)
     return pose_aligned_w2c, sim3
 
 
-def _alignment_function(poses_c2w_from: jnp.ndarray, poses_c2w_to: jnp.ndarray, idx_a: int, idx_b: int):
+def _alignment_function(poses_c2w_from: np.ndarray, poses_c2w_to: np.ndarray,
+                        idx_a: int, idx_b: int):
     """Scale by one pair's baseline, then align to the first pose of the pair."""
-    dist_from = jnp.linalg.norm(poses_c2w_from[idx_a, :3, 3] - poses_c2w_from[idx_b, :3, 3])
-    dist_to = jnp.linalg.norm(poses_c2w_to[idx_a, :3, 3] - poses_c2w_to[idx_b, :3, 3])
+    dist_from = np.linalg.norm(poses_c2w_from[idx_a, :3, 3] - poses_c2w_from[idx_b, :3, 3])
+    dist_to = np.linalg.norm(poses_c2w_to[idx_a, :3, 3] - poses_c2w_to[idx_b, :3, 3])
     scale = dist_to / (dist_from + 1e-12)
-    scaled = poses_c2w_from.at[:, :3, 3].multiply(scale) if hasattr(poses_c2w_from, "at") else poses_c2w_from
-    transformation = poses_c2w_to[idx_a] @ pose_ops.invert_4x4(scaled[idx_a])
+    scaled = poses_c2w_from.copy()
+    scaled[:, :3, 3] *= scale
+    transformation = poses_c2w_to[idx_a] @ np.linalg.inv(scaled[idx_a])
     aligned_c2w = transformation[None] @ scaled
-    aligned_w2c = pose_ops.invert_4x4(aligned_c2w)
-    sim3 = Sim3(R=transformation[:3, :3][None], t=transformation[:3, 3].reshape(1, 3, 1), s=float(scale))
-    return aligned_w2c[:, :3], sim3
+    aligned_w2c = _invert(aligned_c2w[:, :3])
+    sim3 = Sim3(R=transformation[:3, :3][None], t=transformation[:3, 3].reshape(1, 3, 1),
+                s=float(scale))
+    return aligned_w2c, sim3
 
 
-def prealign_w2c_small_camera_systems(pose_w2c: jnp.ndarray, pose_GT_w2c: jnp.ndarray):
+def prealign_w2c_small_camera_systems(pose_w2c, pose_GT_w2c):
     """Try every pose pair as the alignment anchor; keep the lowest R*t error.
 
     Robust replacement for procrustes when there are <10 views (`eval.py:723-813`).
     """
-    pose_c2w = pose_ops.pad(pose_ops.invert(pose_w2c))
-    pose_GT_c2w = pose_ops.pad(pose_ops.invert(pose_GT_w2c))
+    pose_c2w = _pad(_invert(_np64(pose_w2c)))
+    pose_GT_c2w = _pad(_invert(_np64(pose_GT_w2c)))
     B = pose_c2w.shape[0]
     best = None
     for pair_id_0 in range(min(B, 10)):
         for pair_id_1 in range(min(B, 10)):
             if pair_id_0 == pair_id_1:
                 continue
-            aligned_w2c, sim3 = _alignment_function(pose_c2w, pose_GT_c2w, pair_id_0, pair_id_1)
+            aligned_w2c, sim3 = _alignment_function(pose_c2w, pose_GT_c2w,
+                                                    pair_id_0, pair_id_1)
             err = evaluate_camera_alignment(aligned_w2c, pose_GT_w2c)
             score = float(err["t"].mean()) * float(err["R"].mean())
             if best is None or score < best[0]:
@@ -142,11 +178,15 @@ def prealign_w2c_small_camera_systems(pose_w2c: jnp.ndarray, pose_GT_w2c: jnp.nd
     return best[1], best[2]
 
 
-def backtrack_from_aligning_the_trajectory(pose_GT_w2c: jnp.ndarray, sim3: Sim3) -> jnp.ndarray:
-    """Map GT test w2c poses into the optimized coordinate system (inverse sim3)."""
-    pose_GT_c2w = pose_ops.invert(pose_GT_w2c)
-    R_T = jnp.swapaxes(sim3.R, -2, -1)
+def backtrack_from_aligning_the_trajectory(pose_GT_w2c, sim3: Sim3) -> jnp.ndarray:
+    """Map GT test w2c poses into the optimized coordinate system (inverse sim3).
+
+    Returns jnp float32 [N, 3, 4]: the output feeds rendering on device.
+    """
+    pose_GT_c2w = _invert(_np64(pose_GT_w2c))
+    R = _np64(sim3.R)
+    R_T = np.swapaxes(R, -2, -1)
     R_aligned = R_T @ pose_GT_c2w[:, :3, :3]
-    t_aligned = (R_T / sim3.s) @ (pose_GT_c2w[:, :3, 3:4] - sim3.t)
-    aligned_c2w = pose_ops.make(R=R_aligned, t=t_aligned.reshape(-1, 3))
-    return pose_ops.invert(aligned_c2w)
+    t_aligned = (R_T / sim3.s) @ (pose_GT_c2w[:, :3, 3:4] - _np64(sim3.t))
+    aligned_c2w = np.concatenate([R_aligned, t_aligned], axis=-1)
+    return jnp.asarray(_invert(aligned_c2w), dtype=jnp.float32)
