@@ -56,7 +56,7 @@ def main():
     out_dir = args.out_dir or os.path.join(cfg.basedir, cfg.expname, "eval")
     os.makedirs(out_dir, exist_ok=True)
 
-    cur = trainer.current_pose()
+    cur = trainer.current_pose_host()
 
     def run_one(test_optim: bool, save: bool):
         return evaluator.evaluate_full(

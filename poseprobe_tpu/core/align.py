@@ -46,6 +46,56 @@ def _pad(P: np.ndarray) -> np.ndarray:
     return np.concatenate([P, bottom], axis=-2)
 
 
+def se3_to_SE3_host(wu: np.ndarray) -> np.ndarray:
+    """Host-float64 se(3) exp map, [N, 6] (w|u) -> [N, 3, 4].
+
+    Mirror of `core/lie.se3_to_SE3` for metric paths: the device version runs
+    f32 with bf16-pass matmuls on TPU, which bakes ~1e-3 noise into the pose
+    matrix BEFORE any f64 alignment sees it. No grads flow here, so the exact
+    closed form (with the small-angle series switch) is fine.
+    """
+    wu = _np64(wu)
+    w, u = wu[:, :3], wu[:, 3:]
+    theta = np.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # [N,1,1]
+    wx = np.zeros(w.shape[:-1] + (3, 3))
+    wx[:, 0, 1], wx[:, 0, 2] = -w[:, 2], w[:, 1]
+    wx[:, 1, 0], wx[:, 1, 2] = w[:, 2], -w[:, 0]
+    wx[:, 2, 0], wx[:, 2, 1] = -w[:, 1], w[:, 0]
+    wx2 = wx @ wx
+    eye = np.eye(3)[None]
+    small = theta < 1e-8
+    with np.errstate(invalid="ignore", divide="ignore"):
+        A = np.where(small, 1.0, np.sin(theta) / np.where(small, 1.0, theta))
+        B = np.where(small, 0.5, (1 - np.cos(theta)) / np.where(small, 1.0, theta**2))
+        C = np.where(small, 1.0 / 6.0,
+                     (1 - A) / np.where(small, 1.0, theta**2))
+    R = eye + A * wx + B * wx2
+    V = eye + B * wx + C * wx2
+    return np.concatenate([R, V @ u[..., None]], axis=-1)
+
+
+def compose_pair_host(pose_a: np.ndarray, pose_b: np.ndarray) -> np.ndarray:
+    """Host-f64 `pose_b o pose_a` for [N, 3, 4] w2c mats (core/pose.compose_pair)."""
+    pose_a, pose_b = _np64(pose_a), _np64(pose_b)
+    R = pose_b[..., :3, :3] @ pose_a[..., :3, :3]
+    t = pose_b[..., :3, :3] @ pose_a[..., :3, 3:] + pose_b[..., :3, 3:]
+    return np.concatenate([R, t], axis=-1)
+
+
+def current_pose_pnp_host(se3_refine, poses_pnp, fix_first: bool = True) -> np.ndarray:
+    """Host-f64 mirror of `models/pose_refine.current_pose_pnp` for metrics.
+
+    current[i] = pnp[i] o refine[i], with pose 0 kept as the gauge anchor in
+    PnP mode (`recon_scene.py:61-69`).
+    """
+    refined = compose_pair_host(se3_to_SE3_host(se3_refine), _np64(poses_pnp))
+    if not fix_first:
+        return refined
+    out = refined.copy()
+    out[0] = _np64(poses_pnp)[0]
+    return out
+
+
 @dataclasses.dataclass
 class Sim3:
     """Similarity transform estimated from aligned camera sets.
@@ -121,8 +171,12 @@ def evaluate_camera_alignment(pose_aligned_w2c, pose_GT_w2c):
     pose_GT_c2w = _invert(_np64(pose_GT_w2c))
     R_aligned, t_aligned = pose_aligned_c2w[..., :3], pose_aligned_c2w[..., 3]
     R_GT, t_GT = pose_GT_c2w[..., :3], pose_GT_c2w[..., 3]
-    trace = np.einsum("...ij,...ij->...", R_aligned, R_GT)  # tr(Ra @ Rgt^T)
-    R_error = np.degrees(np.arccos(np.clip((trace - 1.0) / 2.0, -1.0, 1.0)))
+    # theta = 2 asin(||R1 - R2||_F / (2 sqrt 2)): identical to the reference's
+    # acos((tr - 1)/2) (`lib/camera.py:345-350`) but exact near 0, where the
+    # acos form floors at ~1e-8 rad in f64 (clip eats sub-resolution angles;
+    # synthetic PnP recovers rotations to machine precision, measured 0.0 deg).
+    fro = np.linalg.norm(R_aligned - R_GT, axis=(-2, -1))
+    R_error = np.degrees(2.0 * np.arcsin(np.clip(fro / (2.0 * np.sqrt(2.0)), 0.0, 1.0)))
     t_error = np.linalg.norm(t_aligned - t_GT, axis=-1) * 100.0
     return dict(R=R_error, t=t_error)
 

@@ -165,6 +165,20 @@ class JointTrainer:
         return pose_refine.current_pose_pnp(state.pose_params, state.poses_pnp,
                                             fix_first=self._fix_first_pose)
 
+    def current_pose_host(self, state: TrainState | None = None) -> np.ndarray:
+        """Host-float64 pose composition for metric/eval/PnP-event paths.
+
+        The device composition runs f32 with bf16-pass matmuls on TPU, baking
+        ~1e-3 noise into the pose matrices before any downstream f64
+        alignment can help (see core/align.py module docstring).
+        """
+        from ..core import align as align_mod
+
+        state = state or self.state
+        return align_mod.current_pose_pnp_host(
+            np.asarray(state.pose_params["se3_refine"]),
+            np.asarray(state.poses_pnp), fix_first=self._fix_first_pose)
+
     # ------------------------------------------------------------------- step
 
     @functools.partial(jax.jit, static_argnames=("self", "n_active", "object_on", "pose_on",
@@ -500,7 +514,7 @@ class JointTrainer:
         the pose optimizer keeps polishing.
         """
         cfg = self.cfg
-        cur = np.asarray(self.current_pose())
+        cur = self.current_pose_host()
         progress = min(self.state.step / cfg.scene_model.max_iter, 1.0)
         use_fine = bool(cfg.scene_model.fine_sampling and self.state.step >= self.fine_start)
         poses_pnp = np.asarray(self.state.poses_pnp).copy()
@@ -532,7 +546,7 @@ class JointTrainer:
         if step == 0 or step % cfg.camera.incremental_step != 0:
             return
         new_idx = self.state.n_active  # next train view
-        cur = np.asarray(self.current_pose())
+        cur = self.current_pose_host()
         pnp_mod.LAST_QUALITY = None  # refreshed by solve_pnp below
         if cfg.pnp.use_identical:
             new_pose = cur[new_idx - 1]
@@ -819,7 +833,7 @@ class JointTrainer:
         data = self.data
         if len(data.i_test) == 0:
             return float("nan")
-        cur = self.current_pose()
+        cur = self.current_pose_host()
         _, sim3 = evaluator.align_train_poses(cur, self.poses_gt)
         psnrs = []
         for t in range(min(n_views, len(data.i_test))):

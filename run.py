@@ -303,7 +303,7 @@ def main():
         h["wall"] = round(time.time() - t0, 2)  # for time-to-PSNR analysis
         # pose error vs GT after small-system alignment (`recon_scene.py:654-668`)
         try:
-            cur_p = trainer.current_pose()[: trainer.state.n_active]
+            cur_p = trainer.current_pose_host()[: trainer.state.n_active]
             gt_p = trainer.poses_gt[: trainer.state.n_active]
             aligned_p, _ = align.prealign_w2c_small_camera_systems(cur_p, gt_p)
             perr = align.evaluate_camera_alignment(aligned_p, gt_p)
@@ -351,7 +351,7 @@ def main():
     print(f"[run] training done in {time.time() - t0:.0f}s")
 
     # final pose error report
-    cur = trainer.current_pose()
+    cur = trainer.current_pose_host()
     aligned, _ = align.prealign_w2c_small_camera_systems(cur, trainer.poses_gt)
     err = align.evaluate_camera_alignment(aligned, trainer.poses_gt)
     print(f"[run] train-pose error: R {float(err['R'].mean()):.3f} deg, "
@@ -389,7 +389,7 @@ def main():
         import jax.numpy as jnp
 
         print("[run] rendering novel-view video ...")
-        c2w = np.asarray(trainer.current_pose())
+        c2w = np.asarray(trainer.current_pose_host())
         c2w = np.linalg.inv(np.concatenate(
             [c2w, np.tile(np.array([[[0, 0, 0, 1.0]]]), (c2w.shape[0], 1, 1))], axis=1))[:, :3]
         spiral_c2w = video_mod.spiral_poses_from_trajectory(c2w, n=40)

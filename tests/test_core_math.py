@@ -193,3 +193,51 @@ class TestAlign:
         sim3 = align.procrustes_analysis(X0, X1)
         X1to0 = (X1 - sim3["t1"]) / sim3["s1"] @ sim3["R"].T * sim3["s0"] + sim3["t0"]
         np.testing.assert_allclose(np.asarray(X1to0), np.asarray(X0), atol=1e-3)
+
+
+class TestHostF64Pose:
+    """Host-float64 mirrors used by the metric paths (core/align.py)."""
+
+    def test_se3_exp_matches_device(self):
+        wu = np.asarray(rand_se3(jax.random.PRNGKey(40), 6, scale=0.8))
+        host = align.se3_to_SE3_host(wu)
+        dev = np.asarray(lie.se3_to_SE3(jnp.asarray(wu)))
+        np.testing.assert_allclose(host, dev, atol=3e-6)
+
+    def test_se3_exp_small_angle(self):
+        wu = np.zeros((2, 6))
+        wu[1] = 1e-12  # below the series switch
+        host = align.se3_to_SE3_host(wu)
+        np.testing.assert_allclose(host[0, :, :3], np.eye(3), atol=1e-15)
+        assert np.all(np.isfinite(host))
+
+    def test_compose_pair_matches_device(self):
+        a = np.asarray(lie.se3_to_SE3(rand_se3(jax.random.PRNGKey(41), 4, scale=0.5)))
+        b = np.asarray(lie.se3_to_SE3(rand_se3(jax.random.PRNGKey(42), 4, scale=0.5)))
+        host = align.compose_pair_host(a, b)
+        dev = np.asarray(pose.compose_pair(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(host, dev, atol=1e-5)
+
+    def test_current_pose_pnp_host_matches_device(self):
+        from poseprobe_tpu.models import pose_refine
+
+        se3 = np.asarray(rand_se3(jax.random.PRNGKey(43), 5, scale=0.1))
+        base = np.asarray(lie.se3_to_SE3(rand_se3(jax.random.PRNGKey(44), 5, scale=0.5)))
+        host = align.current_pose_pnp_host(se3, base, fix_first=True)
+        dev = np.asarray(pose_refine.current_pose_pnp(
+            {"se3_refine": jnp.asarray(se3)}, jnp.asarray(base), fix_first=True))
+        np.testing.assert_allclose(host, dev, atol=1e-5)
+        # the gauge anchor must be byte-identical to the base pose
+        np.testing.assert_array_equal(host[0], np.asarray(base[0], dtype=np.float64))
+
+    def test_rotation_metric_exact_near_zero(self):
+        """The asin-form R metric resolves angles the acos form clips to 0."""
+        gt = np.asarray(lie.se3_to_SE3(rand_se3(jax.random.PRNGKey(45), 3, scale=0.4)))
+        gt64 = align.current_pose_pnp_host(np.zeros((3, 6)), gt, fix_first=False)
+        for theta_deg in (1e-5, 1e-3, 0.5, 10.0):
+            theta = np.radians(theta_deg)
+            d = np.zeros((3, 6))
+            d[:, 0] = theta  # rotate about x
+            perturbed = align.compose_pair_host(align.se3_to_SE3_host(d), gt64)
+            err = align.evaluate_camera_alignment(perturbed, gt64)
+            np.testing.assert_allclose(err["R"], theta_deg, rtol=1e-4)
