@@ -101,6 +101,9 @@ def parse_args():
                         "scaling: start at num_voxels/2^len, double the voxel "
                         "count at each step (ObjectTrainConfig.pg_scale, "
                         "reference configs/default_fine_s.py:70; try 500,1000)")
+    p.add_argument("--grid_type", type=str, default="",
+                   help="override ObjectConfig.grid_type: dense | tensorf "
+                        "(VM-decomposed TensoRF grid)")
     p.add_argument("--pose_trans_window", type=float, default=0.0,
                    help="override SceneTrainConfig.ratio_end_pose_trans: keep "
                         "refining pose TRANSLATION until this ratio while "
@@ -238,6 +241,10 @@ def main():
             cfg, object_train=dataclasses.replace(
                 cfg.object_train,
                 pg_scale=tuple(int(s) for s in args.pg_scale.split(","))))
+    if args.grid_type:
+        cfg = dataclasses.replace(
+            cfg, object_model=dataclasses.replace(cfg.object_model,
+                                                  grid_type=args.grid_type))
     if args.incremental_step:
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,
