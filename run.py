@@ -23,6 +23,10 @@ def parse_args():
     p.add_argument("--config", type=str, default="",
                    help="path to a preset module exposing get_config()")
     p.add_argument("--datadir", type=str, default="")
+    p.add_argument("--scene", type=str, default="",
+                   help="scene/scan selector for family presets "
+                        "(presets/{dtu_scan,replica_scene,toy_scene,"
+                        "nerf_synthetic}.py), e.g. --scene room2 or --scene 30")
     p.add_argument("--synthetic", action="store_true",
                    help="use the procedural synthetic scene (no dataset needed)")
     p.add_argument("--steps", type=int, default=0, help="override max_iter")
@@ -154,9 +158,20 @@ def load_config(args):
     spec = importlib.util.spec_from_file_location("preset", args.config)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    kwargs = {}
     if args.datadir:
-        return mod.get_config(datadir=args.datadir)
-    return mod.get_config()
+        kwargs["datadir"] = args.datadir
+    if args.scene:
+        import inspect
+        params = inspect.signature(mod.get_config).parameters
+        if "scene" in params:
+            kwargs["scene"] = args.scene
+        elif "scan_id" in params:
+            kwargs["scan_id"] = int(args.scene)
+        else:
+            raise SystemExit(f"--scene given but {args.config} is not a "
+                             "family preset (get_config has no scene/scan_id)")
+    return mod.get_config(**kwargs)
 
 
 def main():

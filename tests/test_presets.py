@@ -41,7 +41,8 @@ def test_expected_presets_present():
     names = {os.path.basename(p) for p in PRESETS}
     assert {"dtu_scan1.py", "dtu_generic.py", "toy_desk.py",
             "replica_room0.py", "shapenet_car.py", "dtu_scan.py",
-            "toy_candy.py", "replica_room1.py"} <= names
+            "toy_candy.py", "replica_room1.py",
+            "replica_scene.py", "nerf_synthetic.py", "toy_scene.py"} <= names
 
 
 def test_dtu_scan_family():
@@ -88,6 +89,71 @@ def test_toy_candy_and_replica_room1():
     assert r1.data.selected_id == (300, 350, 400)            # room1.py:18
     assert r1.expname == "room1"
     assert r1.camera.incremental_step == r0.camera.incremental_step == 2000
+
+
+def test_replica_scene_family():
+    """Family factory covers every `configs/replica/*.py` scene; the per-scene
+    delta is selected_id only (verified by diff)."""
+    from poseprobe_tpu.config.presets import replica_scene
+
+    assert set(replica_scene.SCENE_TABLE) == {
+        "office0", "office1", "office2", "office3", "room0", "room1", "room2"}
+    for name, sel in replica_scene.SCENE_TABLE.items():
+        c = replica_scene.get_config(name)
+        assert c.expname == name and c.data.selected_id == sel
+        assert c.camera.incremental_step == 2000         # shared protocol
+        assert c.object_train.N_iters == 1               # object branch off
+    assert replica_scene.get_config("office3").data.selected_id == (0, 350, 700)
+    with pytest.raises(KeyError):
+        replica_scene.get_config("kitchen")
+
+
+def test_nerf_synthetic_family():
+    """Family factory covers every `configs/nerf_synthetic_e2e/*.py` scene."""
+    from poseprobe_tpu.config.presets import nerf_synthetic
+
+    assert set(nerf_synthetic.SCENE_TABLE) == {
+        "bedroom", "cole", "cole2", "desk_car", "hat", "keyboard",
+        "soft_bedroom"}
+    for name, (expname, sel) in nerf_synthetic.SCENE_TABLE.items():
+        c = nerf_synthetic.get_config(name)
+        assert c.expname == expname and c.data.selected_id == sel
+        assert c.data.white_bkgd and not c.pnp.use_pnp   # shared template
+        assert c.object_train.N_iters == 15000
+        assert c.object_train.weight_surface_projection == 0.001
+    assert nerf_synthetic.get_config("cole2").expname == "cole_2"  # cole2.py:10
+    with pytest.raises(KeyError):
+        nerf_synthetic.get_config("lego")
+
+
+def test_toy_scene_family():
+    """Family factory covers every `configs/toy/*.py` scene."""
+    from poseprobe_tpu.config.presets import toy_scene
+
+    d = toy_scene.get_config("desk1")
+    assert d.expname == "our_desk_1" and d.camera.incremental_step == 1
+
+    c = toy_scene.get_config("candy")
+    assert c.expname == "our_desk_2_candy"
+
+    dr = toy_scene.get_config("dragon")
+    assert dr.expname == "our_desk_2_dragon"
+    assert dr.data.selected_id == (62, 70, 77)           # dragon.py:19
+    assert dr.data.xyz_min == (0.0, -0.05, 0.25)         # dragon.py:40
+    assert dr.camera.incremental_step == 200             # dragon.py:49
+    assert dr.object_train.N_iters == 15000
+
+    f = toy_scene.get_config("face")
+    assert f.expname == "face"
+    assert f.data.xyz_min == (-0.15, -0.15, 0.5)         # face.py:39
+    assert f.camera.incremental_step == 100              # face.py:48
+    assert f.world_bound_scale == 1.5                    # face.py:57
+    assert f.object_train.weight_tv_k0 == 0.01           # face.py:67
+    assert f.object_train.N_iters == 1                   # face.py:63 (-1: off)
+    assert f.data.test_id[-1] == 78                      # face.py:21
+
+    with pytest.raises(KeyError):
+        toy_scene.get_config("lego")
 
 
 def test_reference_knob_values():
