@@ -66,7 +66,9 @@ def main():
             jnp.asarray(data.Ks[data.i_test]), (data.near, data.far),
             test_photo=test_optim, test_iter=cfg.scene_train.test_iter,
             save_dir=os.path.join(out_dir, "test_renders") if save else None,
-            progress=min(trainer.state.step / cfg.scene_model.max_iter, 1.0))
+            progress=min(trainer.state.step / cfg.scene_model.max_iter, 1.0),
+            test_depth_gt=None if data.depth_gt is None
+            else data.depth_gt[data.i_test])
 
     # reference saves both blocks for the joint model (`recon_scene.py:906-929`)
     results = {"iteration": trainer.state.step}

@@ -46,6 +46,7 @@ class SceneData:
     pair_j: Optional[np.ndarray] = None         # [n_train] int
     samplers: Optional[SemanticSamplers] = None
     scale_mats: Optional[np.ndarray] = None     # DTU world-scale mats for mesh eval
+    depth_gt: Optional[np.ndarray] = None       # [n_views, H, W] camera-z, 0 = invalid
     inverse_y: bool = True
     flip_x: bool = False
     flip_y: bool = False

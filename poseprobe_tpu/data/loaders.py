@@ -68,7 +68,8 @@ def _resize(img: np.ndarray, H: int, W: int) -> np.ndarray:
 
 
 def _finalize(cfg: DataConfig, images, masks, Ks, poses_w2c, i_train, i_test,
-              scale_mats=None, matcher_backend: str = "auto") -> base.SceneData:
+              scale_mats=None, matcher_backend: str = "auto",
+              depth_gt=None) -> base.SceneData:
     """Match packs + semantic samplers + container assembly (shared tail)."""
     images = np.asarray(images, np.float32)
     if images.shape[-1] == 4:  # RGBA -> composite over white/black
@@ -92,6 +93,7 @@ def _finalize(cfg: DataConfig, images, masks, Ks, poses_w2c, i_train, i_test,
         xyz_max=np.asarray(cfg.xyz_max, np.float32),
         obj_matches=obj_m, scene_matches=scene_m, pair_j=pair_j,
         samplers=samplers, scale_mats=scale_mats,
+        depth_gt=None if depth_gt is None else np.asarray(depth_gt, np.float32),
         inverse_y=cfg.inverse_y, flip_x=cfg.flip_x, flip_y=cfg.flip_y,
         white_bkgd=cfg.white_bkgd,
     )
@@ -276,7 +278,7 @@ def load_replica(cfg: DataConfig, png_depth_scale: float = 6553.5,
     test = list(cfg.test_id) if cfg.test_id is not None else \
         [i for i in range(len(color_paths)) if i not in sel][:: max(cfg.testskip, 1)]
     order = sel + test
-    images, masks, poses = [], [], []
+    images, masks, poses, depths = [], [], [], []
     for i in order:
         img = _imread_float(color_paths[i])[..., :3]
         depth = np.asarray(imageio.imread(depth_paths[i])).astype(np.float32) / png_depth_scale
@@ -284,6 +286,7 @@ def load_replica(cfg: DataConfig, png_depth_scale: float = 6553.5,
             img = _resize(img, depth.shape[0], depth.shape[1])
         images.append(img)
         masks.append((depth > 0).astype(np.float32))
+        depths.append(depth)  # camera-z GT, 0 = invalid (load_replica.py:395)
         c2w = traj[i]
         R, t = c2w[:3, :3], c2w[:3, 3]
         poses.append(np.concatenate([R.T, (-R.T @ t)[:, None]], 1))
@@ -295,7 +298,8 @@ def load_replica(cfg: DataConfig, png_depth_scale: float = 6553.5,
     i_train = list(range(len(sel)))
     i_test = list(range(len(sel), len(order)))
     return _finalize(cfg, np.stack(images), np.stack(masks), Ks,
-                     np.stack(poses), i_train, i_test, matcher_backend=matcher_backend)
+                     np.stack(poses), i_train, i_test, matcher_backend=matcher_backend,
+                     depth_gt=np.stack(depths))
 
 
 # ------------------------------------------------------- scene_with_shapenet

@@ -185,6 +185,10 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int 
         xyz_max=np.array([margin] * 3, np.float32),
         obj_matches=obj_matches, scene_matches=scene_matches, pair_j=pair_j,
         samplers=samplers, inverse_y=True,
+        # rays use the K^-1 [x, y, 1] convention (camera-z = 1), so the ray
+        # parameter t IS camera-z — same convention as the scene renderer's
+        # depth output, usable directly as depth-metric GT
+        depth_gt=np.stack(depths).astype(np.float32),
     )
 
 

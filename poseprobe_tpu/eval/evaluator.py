@@ -184,6 +184,7 @@ def evaluate_full(
     lr_pose: float = 1e-3,
     save_dir: str | None = None,
     progress: float = 1.0,
+    test_depth_gt: np.ndarray | None = None,  # [T, H, W] camera-z, 0 = invalid
 ) -> dict[str, Any]:
     """Full test-set evaluation; returns the reference's JSON-style result dict.
 
@@ -195,6 +196,7 @@ def evaluate_full(
 
     H, W = test_images.shape[1:3]
     psnrs, ssims, lpips_vals = [], [], []
+    depth_abs, depth_rmse = [], []
     for t in range(test_images.shape[0]):
         pose_in_opt_frame = align.backtrack_from_aligning_the_trajectory(
             test_pose_GT_w2c[t:t + 1], sim3)[0]
@@ -210,6 +212,13 @@ def evaluate_full(
         ssims.append(float(metrics_mod.ssim(out["rgb"], gt)))
         if metrics_mod.lpips_available():
             lpips_vals.append(metrics_mod.lpips_fn(out["rgb"], gt))
+        if test_depth_gt is not None:
+            # rendered depth is in the optimized-scene gauge; sim3.s is the
+            # est->GT scale (reference `renderer.py:202-209,330-344`)
+            a, r = metrics_mod.depth_abs_rmse(np.asarray(out["depth"]),
+                                              test_depth_gt[t], scale=sim3.s)
+            depth_abs.append(a)
+            depth_rmse.append(r)
         if save_dir is not None:
             import imageio
             import os as _os
@@ -232,4 +241,8 @@ def evaluate_full(
     }
     if lpips_vals:
         results["lpips"] = float(np.mean(lpips_vals))
+    if depth_abs:
+        results["depth_abs"] = float(np.nanmean(depth_abs))
+        results["depth_rmse"] = float(np.nanmean(depth_rmse))
+        results["depth_abs_per_img"] = depth_abs
     return results

@@ -20,6 +20,24 @@ def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
 
+def depth_abs_rmse(pred, gt, valid=None, scale: float = 1.0):
+    """Depth abs error + RMSE on valid GT pixels (host numpy).
+
+    Mirrors `compute_depth_error_on_rays`/`compute_rmse`
+    (`lib/bg_nerf/source/training/core/metrics.py:78-134`): the predicted
+    depth is multiplied by the sim3 est->GT scale (the optimized geometry is
+    valid up to a similarity, `renderer.py:202-209`), invalid GT (0) pixels
+    are dropped. Returns (abs_e, rmse) floats; (nan, nan) if nothing valid.
+    """
+    pred = np.asarray(pred, np.float64).reshape(-1) * float(scale)
+    gt = np.asarray(gt, np.float64).reshape(-1)
+    v = (gt > 0) if valid is None else np.asarray(valid).reshape(-1).astype(bool)
+    if not v.any():
+        return float("nan"), float("nan")
+    diff = gt[v] - pred[v]
+    return float(np.abs(diff).mean()), float(np.sqrt((diff ** 2).mean()))
+
+
 def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     x = jnp.arange(size, dtype=jnp.float32) - size // 2
     g = jnp.exp(-(x**2) / (2 * sigma**2))

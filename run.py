@@ -390,7 +390,9 @@ def main():
             jnp.asarray(data.Ks[data.i_test]), (data.near, data.far),
             test_photo=not args.no_test_optim and cfg.scene_train.test_photo,
             test_iter=cfg.scene_train.test_iter,
-            progress=min(trainer.state.step / cfg.scene_model.max_iter, 1.0))
+            progress=min(trainer.state.step / cfg.scene_model.max_iter, 1.0),
+            test_depth_gt=None if data.depth_gt is None
+            else data.depth_gt[data.i_test])
         results["train_seconds"] = round(time.time() - t0, 1)
         results["steps"] = int(trainer.state.step)
         print(json.dumps(results, indent=2))

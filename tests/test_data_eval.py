@@ -76,6 +76,35 @@ class TestMetrics:
     def test_lpips_gated(self):
         assert not metrics.lpips_available() or os.environ.get("POSEPROBE_LPIPS_WEIGHTS")
 
+    def test_depth_abs_rmse(self):
+        """Mirrors `compute_depth_error_on_rays` (`metrics.py:123-134`):
+        invalid (0) GT dropped, pred scaled by the sim3 est->GT factor."""
+        gt = np.array([2.0, 4.0, 0.0, 1.0])      # third pixel invalid
+        pred = np.array([1.0, 2.0, 9.0, 0.5])    # exactly gt/2
+        abs_e, rmse = metrics.depth_abs_rmse(pred, gt, scale=2.0)
+        assert abs_e == 0.0 and rmse == 0.0
+        abs_e, rmse = metrics.depth_abs_rmse(pred, gt, scale=1.0)
+        np.testing.assert_allclose(abs_e, (1.0 + 2.0 + 0.5) / 3)
+        np.testing.assert_allclose(rmse, np.sqrt((1 + 4 + 0.25) / 3))
+        a, r = metrics.depth_abs_rmse(pred, np.zeros(4))  # nothing valid
+        assert np.isnan(a) and np.isnan(r)
+
+    def test_synthetic_depth_gt_is_camera_z(self):
+        """The synthetic scene's depth_gt uses the renderer's convention
+        (ray parameter with camera-z = 1, i.e. camera-z depth): the center
+        pixel of each view sees the near cube face at ~|cam| - cube_half."""
+        from poseprobe_tpu.data.synthetic import make_synthetic_scene
+
+        data = make_synthetic_scene(n_train=3, n_test=1, H=32, W=32, seed=0)
+        assert data.depth_gt is not None and data.depth_gt.shape == (4, 32, 32)
+        assert (data.depth_gt > 0).all()
+        for v in range(3):
+            R, t = data.poses_gt_w2c[v, :, :3], data.poses_gt_w2c[v, :, 3]
+            cam = -R.T @ t
+            d_center = data.depth_gt[v, 16, 16]
+            assert data.masks[v, 16, 16, 0] == 1.0   # cube covers the center
+            assert abs(d_center - (np.linalg.norm(cam) - 0.35)) < 0.1
+
 
 class TestMatching:
     def test_classical_matcher_on_shifted_texture(self):
@@ -169,6 +198,10 @@ class TestMoreLoaders:
         assert data.n_train == 2
         assert data.masks.min() >= 0 and data.masks.max() <= 1
         assert np.isfinite(data.poses_gt_w2c).all()
+        # GT depth carried through for the depth metrics (load_replica.py
+        # depth*.png / 6553.5), camera-z convention, 0 = invalid
+        assert data.depth_gt is not None and data.depth_gt.shape == data.images.shape[:3]
+        assert data.depth_gt.min() > 0.1  # fixture depths in [1000, 21000]/6553.5
 
     def test_load_shapenet_scene(self, tmp_path):
         import imageio.v2 as imageio

@@ -88,10 +88,17 @@ class TestEvaluator:
             params, CFG, train_poses, train_poses,
             data.images[data.i_test], jnp.asarray(data.poses_gt_w2c[data.i_test]),
             jnp.asarray(data.Ks[data.i_test]), (data.near, data.far),
-            test_photo=False)
+            test_photo=False,
+            test_depth_gt=None if data.depth_gt is None
+            else data.depth_gt[data.i_test])
         assert set(results) >= {"rot_error", "trans_error", "psnr", "ssim"}
         assert results["rot_error"] < 0.1  # identical pose sets align exactly
         assert results["psnr"] > 10.0
+        if data.depth_gt is not None:
+            # GT poses => sim3 scale ~1; a scene trained to >10 dB puts its
+            # depth within the right order of magnitude of the GT camera-z
+            assert np.isfinite(results["depth_rmse"])
+            assert results["depth_rmse"] < 5.0
 
 
 class TestVideoAndVis:
