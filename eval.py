@@ -20,6 +20,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, default="")
     p.add_argument("--datadir", type=str, default="")
+    p.add_argument("--scene", type=str, default="",
+                   help="scene/scan selector for family presets (see run.py)")
     p.add_argument("--ckpt", type=str, required=True)
     p.add_argument("--out_dir", type=str, default="")
     p.add_argument("--synthetic", action="store_true")

@@ -127,6 +127,11 @@ def parse_args():
                         "touching the fine-sampling start)")
     p.add_argument("--fg_fraction", type=float, default=-1.0,
                    help="override sample_fraction_in_fg_mask")
+    p.add_argument("--pose_noise", type=float, default=0.0,
+                   help="seed poses = GT + se3 noise of this scale, PnP off "
+                        "(the generic-DTU coarse protocol, coarse.py:36)")
+    p.add_argument("--no_pnp", action="store_true",
+                   help="seed poses from GT without PnP (replica/toy protocol)")
     p.add_argument("--incremental_step", type=int, default=0,
                    help="override CameraConfig.incremental_step (steps "
                         "between view activations)")
@@ -264,6 +269,17 @@ def main():
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,
                                             incremental_step=args.incremental_step))
+    if args.pose_noise:
+        # generic-DTU coarse protocol (coarse.py:36-37,75-76): GT poses +
+        # se3 noise, no PnP, joint pose refinement recovers the perturbation
+        cfg = dataclasses.replace(
+            cfg,
+            camera=dataclasses.replace(cfg.camera, noise=args.pose_noise),
+            pnp=dataclasses.replace(cfg.pnp, use_pnp=False))
+    if args.no_pnp:
+        # replica/toy protocol (room0.py / desk1.py): GT-seeded poses
+        cfg = dataclasses.replace(
+            cfg, pnp=dataclasses.replace(cfg.pnp, use_pnp=False))
     if args.loss_weight:
         lw = dict(cfg.scene_train.loss_weight)
         for item in args.loss_weight:
