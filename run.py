@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--steps", type=int, default=0, help="override max_iter")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--render_test", action="store_true")
+    p.add_argument("--render_train", action="store_true",
+                   help="post-train renders + PSNR of the training views "
+                        "(reference run.py render_viewpoints on the train split)")
     p.add_argument("--render_video", action="store_true")
     p.add_argument("--export_mesh", action="store_true")
     p.add_argument("--i_print", type=int, default=200)
@@ -414,6 +417,35 @@ def main():
         print(json.dumps(results, indent=2))
         with open(os.path.join(out_dir, f"{cfg.expname}.json"), "w") as f:
             json.dump(results, f, indent=2)
+
+    if args.render_train:
+        # reference `run.py:414-449` render_viewpoints on the train split:
+        # render each training view at its OPTIMIZED pose (no alignment —
+        # scene and train poses share the gauge) and report PSNR
+        import imageio
+        import jax.numpy as jnp
+
+        from poseprobe_tpu.eval import metrics as metrics_mod
+        from poseprobe_tpu.utils.vis import validation_panel
+
+        print("[run] rendering training views ...")
+        tr_dir = os.path.join(out_dir, "train_renders")
+        os.makedirs(tr_dir, exist_ok=True)
+        progress = min(trainer.state.step / cfg.scene_model.max_iter, 1.0)
+        tr_psnrs = []
+        for k, v in enumerate(data.i_train[: trainer.state.n_active]):
+            out = evaluator.render_full(
+                trainer.state.scene_params, cfg.scene_model,
+                jnp.asarray(cur[k]), jnp.asarray(data.Ks[v]),
+                data.H, data.W, (data.near, data.far), progress=progress)
+            gt = data.images[v]
+            tr_psnrs.append(float(metrics_mod.psnr(out["rgb"], jnp.asarray(gt))))
+            panel = validation_panel(np.asarray(gt), np.asarray(out["rgb"]),
+                                     np.asarray(out["depth"]),
+                                     np.asarray(out["opacity"][..., 0]))
+            imageio.imwrite(os.path.join(tr_dir, f"train_{k:03d}.png"), panel)
+        print(f"[run] train-view psnr: mean {np.mean(tr_psnrs):.2f} "
+              f"{['%.2f' % p for p in tr_psnrs]}")
 
     if args.export_mesh:
         print("[run] extracting mesh ...")
