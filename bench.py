@@ -140,7 +140,11 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
          matmul_dtype: str = "bfloat16"):
     import os
 
-    superstep = int(os.environ.get("POSEPROBE_SUPERSTEP", "25"))
+    # 100-step scan windows measured fastest (44.3k rays/s vs 43.1k at 25 —
+    # pure dispatch amortization, numerically identical; logs/r3_queue/
+    # bench_ss50.log, bench_ss100.log). Real runs clamp windows to event/log
+    # boundaries anyway (trainer.fit), so this is the same execution path.
+    superstep = int(os.environ.get("POSEPROBE_SUPERSTEP", "100"))
 
     force = os.environ.get("POSEPROBE_BENCH_FORCE_TPU", "") == "1"
     if os.environ.get("POSEPROBE_BENCH_CPU", "") == "1":
