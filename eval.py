@@ -25,6 +25,9 @@ def main():
     p.add_argument("--ckpt", type=str, required=True)
     p.add_argument("--out_dir", type=str, default="")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--probe", type=str, default="cube",
+                   choices=["cube", "sphere"],
+                   help="synthetic scene: probe shape (must match the run)")
     p.add_argument("--n_views", type=int, default=0,
                    help="synthetic-only: number of training views the ckpt was trained with")
     p.add_argument("--no_test_optim", action="store_true")
@@ -49,6 +52,8 @@ def main():
     loader_kwargs = {}
     if args.n_views and cfg.data.dataset_type == "synthetic":
         loader_kwargs["n_train"] = args.n_views
+    if args.probe != "cube" and cfg.data.dataset_type == "synthetic":
+        loader_kwargs["probe"] = args.probe
     data = load_data(cfg.data, matcher_backend=args.matcher, **loader_kwargs)
     trainer = JointTrainer(cfg, data)
     payload = state_mod.load_checkpoint(args.ckpt)

@@ -31,21 +31,34 @@ def _cube_sdf(p: np.ndarray, half: float) -> np.ndarray:
             + np.minimum(np.max(d, axis=-1), 0))
 
 
-def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0):
-    """Analytic render: colored cube faces + gradient background wall.
+def _probe_sdf(p: np.ndarray, half: float, probe: str) -> np.ndarray:
+    """SDF of the pose-probe object. "cube" is the shape the object branch is
+    initialized as; "sphere" is deliberately NOT cube-shaped so the SIREN
+    deformation field (reference `lib/deformation/deform_net.py`) has real
+    work to do adapting the cube-SDF init — the paper's "generic objects as
+    pose probes" claim exercised on a non-cube probe."""
+    if probe == "cube":
+        return _cube_sdf(p, half)
+    if probe == "sphere":
+        return np.linalg.norm(p, axis=-1) - half
+    raise ValueError(f"unknown probe shape: {probe!r}")
+
+
+def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0, probe="cube"):
+    """Analytic render: colored probe (cube/sphere) + gradient background wall.
 
     Returns rgb [N, 3], depth [N], hit_mask [N].
     """
     N = rays_o.shape[0]
     rgb = np.zeros((N, 3), np.float32)
     depth = np.full(N, bg_dist, np.float32)
-    # sphere-trace the cube
+    # sphere-trace the probe
     t = np.zeros(N, np.float32)
     pos = rays_o.copy()
     hit = np.zeros(N, bool)
     alive = np.ones(N, bool)
     for _ in range(96):
-        d = _cube_sdf(pos[alive], half)
+        d = _probe_sdf(pos[alive], half, probe)
         t_alive = t[alive] + d
         newly_hit = d < 1e-4
         t[alive] = t_alive
@@ -56,7 +69,8 @@ def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0):
         alive[t > 10.0] = False
         if not alive.any():
             break
-    # face colors from dominant normal axis
+    # face colors from dominant position axis (6 colored faces on the cube,
+    # 6 colored octant patches on the sphere — matchable texture either way)
     p_hit = pos[hit]
     axis = np.argmax(np.abs(p_hit), axis=-1)
     sign = np.sign(p_hit[np.arange(len(p_hit)), axis])
@@ -88,7 +102,8 @@ def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0):
 def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int = 64,
                          cube_half: float = 0.35, seed: int = 0,
                          n_matches: int = 128,
-                         arc_half: float | None = None) -> base.SceneData:
+                         arc_half: float | None = None,
+                         probe: str = "cube") -> base.SceneData:
     rng = np.random.default_rng(seed)
     n_views = n_train + n_test
     f = 0.9 * W
@@ -128,7 +143,8 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int 
         dirs = np.stack([(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs)], -1)
         rd = dirs @ R_c2w.T
         ro = np.broadcast_to(cam_pos, rd.shape)
-        rgb, depth, hit = _raycast_cube_scene(ro.reshape(-1, 3), rd.reshape(-1, 3), cube_half)
+        rgb, depth, hit = _raycast_cube_scene(ro.reshape(-1, 3), rd.reshape(-1, 3), cube_half,
+                                              probe=probe)
         images.append(rgb.reshape(H, W, 3))
         masks.append(hit.reshape(H, W, 1).astype(np.float32))
         depths.append(depth.reshape(H, W))
@@ -147,7 +163,7 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int 
         j = pair_j[i]
         for pack, on_cube in ((obj_matches, True), (scene_matches, False)):
             pts3d = _sample_visible_points(rng, n_matches * 4, cube_half, on_cube, depths[j],
-                                           poses_w2c[j], K, H, W)
+                                           poses_w2c[j], K, H, W, probe=probe)
             # project into both views, keep in-bounds
             def proj(pose, pts):
                 pc = pts @ pose[:, :3].T + pose[:, 3]
@@ -215,8 +231,14 @@ def _visible_in(px: np.ndarray, z_cam: np.ndarray, depth_map: np.ndarray,
     return np.abs(z_cam - z_map) < tol * np.maximum(z_map, 1.0)
 
 
-def _sample_visible_points(rng, n, cube_half, on_cube, depth_j, pose_j, K, H, W):
-    """3D points visible in view j: on the cube surface or on the background."""
+def _sample_visible_points(rng, n, cube_half, on_cube, depth_j, pose_j, K, H, W,
+                           probe="cube"):
+    """3D points visible in view j: on the probe surface or on the background."""
+    if on_cube and probe == "sphere":
+        # uniform directions scaled to the sphere surface
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        return v * cube_half
     if on_cube:
         # random points on cube faces
         face = rng.integers(0, 6, n)

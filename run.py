@@ -71,6 +71,11 @@ def parse_args():
     p.add_argument("--arc_half", type=float, default=0.0,
                    help="synthetic scene: half-width of the camera arc in "
                         "radians (default: auto, ~14deg per view pair)")
+    p.add_argument("--probe", type=str, default="cube",
+                   choices=["cube", "sphere"],
+                   help="synthetic scene: pose-probe object shape (sphere "
+                        "forces the deformation field to adapt the cube-SDF "
+                        "init to a non-cube probe)")
     p.add_argument("--pnp_anchor", type=str, default="",
                    choices=["", "object", "scene", "object_scaled"],
                    help="activation-time PnP 3D-anchor source (see PnPConfig)")
@@ -328,6 +333,8 @@ def main():
         loader_kwargs["n_train"] = args.n_views
     if args.arc_half and cfg.data.dataset_type == "synthetic":
         loader_kwargs["arc_half"] = args.arc_half
+    if args.probe != "cube" and cfg.data.dataset_type == "synthetic":
+        loader_kwargs["probe"] = args.probe
     if args.tiny and cfg.data.dataset_type == "synthetic":
         loader_kwargs["H"] = loader_kwargs["W"] = 32
     data = load_data(cfg.data, matcher_backend=args.matcher, **loader_kwargs)

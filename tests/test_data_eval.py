@@ -106,6 +106,43 @@ class TestMetrics:
             assert abs(d_center - (np.linalg.norm(cam) - 0.35)) < 0.1
 
 
+    def test_synthetic_sphere_probe(self):
+        """probe="sphere": a non-cube probe so the deformation field has real
+        work adapting the cube-SDF init. The scene must stay geometrically
+        consistent: matches on the sphere surface, center-pixel depth =
+        |cam| - radius, masks smaller than the circumscribing cube's."""
+        from poseprobe_tpu.data.synthetic import make_synthetic_scene
+
+        data = make_synthetic_scene(n_train=3, n_test=1, H=32, W=32, seed=0,
+                                    probe="sphere")
+        cube = make_synthetic_scene(n_train=3, n_test=1, H=32, W=32, seed=0)
+        assert 0 < data.masks[:3].mean() < cube.masks[:3].mean()
+        for v in range(3):
+            R, t = data.poses_gt_w2c[v, :, :3], data.poses_gt_w2c[v, :, 3]
+            cam = -R.T @ t
+            assert data.masks[v, 16, 16, 0] == 1.0
+            assert abs(data.depth_gt[v, 16, 16] - (np.linalg.norm(cam) - 0.35)) < 0.1
+        # object matches backproject onto the sphere: pixel in view j at the
+        # rendered depth must be ~0.35 from the origin
+        j = int(data.pair_j[1])
+        m = data.obj_matches[1]
+        sel = m[:, 4] > 0
+        assert sel.sum() >= 64
+        px = m[sel, 0:2]
+        K = data.Ks[j]
+        xi = np.clip(px[:, 0].astype(int), 0, 31)
+        yi = np.clip(px[:, 1].astype(int), 0, 31)
+        t_ray = data.depth_gt[j, yi, xi]
+        dirs = np.stack([(xi + 0.5 - K[0, 2]) / K[0, 0],
+                         (yi + 0.5 - K[1, 2]) / K[1, 1],
+                         np.ones_like(t_ray)], -1)
+        R, t = data.poses_gt_w2c[j, :, :3], data.poses_gt_w2c[j, :, 3]
+        cam_pts = dirs * t_ray[:, None]
+        world = (cam_pts - t) @ R
+        r = np.linalg.norm(world, axis=-1)
+        assert np.median(np.abs(r - 0.35)) < 0.05, np.median(r)
+
+
 class TestMatching:
     def test_classical_matcher_on_shifted_texture(self):
         rng = np.random.default_rng(2)
