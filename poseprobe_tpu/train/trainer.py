@@ -577,10 +577,19 @@ class JointTrainer:
                 cur[new_idx - 1], inverse_y=self.data.inverse_y,
                 near=self.data.near, far=self.data.far)
         else:
+            # no-PnP protocols seed from poses_pnp = noise∘GT (reference
+            # `get_current_pose`, `recon_scene.py:51-59`)
             new_pose = np.asarray(self.state.poses_pnp[new_idx])
         q = pnp_mod.LAST_QUALITY
-        qtag = (f"pnp med_reproj {q['med_reproj_px']:.1f}px n {q['n_pts']}"
-                f"{' FALLBACK' if q.get('fallback') else ''}") if q else "pnp (no-ransac)"
+        if q is not None:
+            qtag = (f"pnp med_reproj {q['med_reproj_px']:.1f}px n {q['n_pts']}"
+                    f"{' FALLBACK' if q.get('fallback') else ''}")
+        elif cfg.pnp.use_identical:
+            qtag = "seed (prev view)"
+        elif cfg.pnp.use_pnp:
+            qtag = "pnp (no-ransac)"
+        else:
+            qtag = "seed (gt+noise)" if self.cfg.camera.noise else "seed (gt)"
         self._log_activation_error(step, new_idx, cur, new_pose, qtag)
         # warmup gate: a PnP pose that already reprojects tightly is better
         # than anything a blurry early-BARF render can align (see config)
