@@ -44,9 +44,15 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--tile", type=int, default=0,
                     help="points per pallas grid step (0 = module default)")
+    ap.add_argument("--wt", action="store_true",
+                    help="bwd kernel: pre-transposed weights for the dx GEMMs")
+    ap.add_argument("--interleave", type=int, default=1,
+                    help="independent sub-chains per tile (MXU/VPU overlap)")
     args = ap.parse_args()
     if args.tile:
         fused_mlp.TILE = args.tile
+    fused_mlp.BWD_WT = args.wt
+    fused_mlp.INTERLEAVE = args.interleave
 
     cfg = SceneConfig(matmul_dtype="bfloat16")
     skip = cfg.skip[0]

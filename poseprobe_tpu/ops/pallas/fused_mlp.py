@@ -39,6 +39,18 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 512  # default point-tile; override per call (see fused_trunk(tile=))
 IN_PAD = 128  # encoded-input width after padding (63 -> 128 for L_3D=10)
 
+# Tuning switches (read at trace time; benchmarks/microbench_trunk.py A/Bs
+# them on the real TPU before they become defaults):
+# * BWD_WT: feed the backward kernel pre-transposed copies of every weight
+#   matrix so the dx matmul is a plain row-major GEMM instead of making
+#   Mosaic re-transpose the [D, H] weight on every grid step.
+# * INTERLEAVE: process the point tile as this many independent sub-chains,
+#   interleaved layer-by-layer, so the MXU matmul of one sub-chain can
+#   overlap the VPU relu/round of the other (the 8 trunk matmuls are
+#   otherwise one serial dependency chain per tile).
+BWD_WT = False
+INTERLEAVE = 1
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -48,7 +60,7 @@ def _cdiv(a, b):
 # forward kernel
 
 
-def _fwd_kernel_factory(L: int, skip: int, H: int):
+def _fwd_kernel_factory(L: int, skip: int, H: int, nh: int = 1):
     def kernel(*refs):
         enc_ref = refs[0]
         w_refs = refs[1:1 + L]
@@ -56,22 +68,27 @@ def _fwd_kernel_factory(L: int, skip: int, H: int):
         feat_ref = refs[1 + 2 * L]
         dens_ref = refs[2 + 2 * L]
 
-        x = enc_ref[...]  # [T, IN_PAD] bf16
-        a = x
+        x_all = enc_ref[...]  # [T, IN_PAD] bf16
+        Th = x_all.shape[0] // nh
+        xs = [x_all[h * Th:(h + 1) * Th] for h in range(nh)]
+        a = list(xs)
         for l in range(L):
-            inp = jnp.concatenate([a, x], axis=-1) if l == skip else a
-            pre = jax.lax.dot_general(
-                inp, w_refs[l][...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            pre = pre + b_refs[l][...].astype(jnp.float32)
-            if l == L - 1:
-                # last layer's padded columns are [feat(H) | density | zeros]
-                # (reordered by the wrapper), so both outputs are lane-aligned
-                # slices — no iota select, no downstream offset-1 slice copy
-                feat_ref[...] = jax.nn.relu(pre[:, :H]).astype(jnp.bfloat16)
-                dens_ref[...] = pre[:, H:]
-            else:
-                a = jax.nn.relu(pre).astype(jnp.bfloat16)
+            for h in range(nh):
+                inp = jnp.concatenate([a[h], xs[h]], axis=-1) if l == skip else a[h]
+                pre = jax.lax.dot_general(
+                    inp, w_refs[l][...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                pre = pre + b_refs[l][...].astype(jnp.float32)
+                if l == L - 1:
+                    # last layer's padded columns are [feat(H) | density |
+                    # zeros] (reordered by the wrapper), so both outputs are
+                    # lane-aligned slices — no iota select, no downstream
+                    # offset-1 slice copy
+                    feat_ref[h * Th:(h + 1) * Th, :] = (
+                        jax.nn.relu(pre[:, :H]).astype(jnp.bfloat16))
+                    dens_ref[h * Th:(h + 1) * Th, :] = pre[:, H:]
+                else:
+                    a[h] = jax.nn.relu(pre).astype(jnp.bfloat16)
 
     return kernel
 
@@ -87,7 +104,7 @@ def _trunk_fwd_call(enc, ws, bs, skip, interpret, tile):
     n_tiles = N // tile
     flops_layer = sum(2 * tile * w.shape[0] * w.shape[1] for w in ws)
     return pl.pallas_call(
-        _fwd_kernel_factory(L, skip, H),
+        _fwd_kernel_factory(L, skip, H, nh=INTERLEAVE),
         out_shape=[jax.ShapeDtypeStruct((N, H), jnp.bfloat16),
                    jax.ShapeDtypeStruct((N, IN_PAD), jnp.float32)],
         grid=(n_tiles,),
@@ -113,18 +130,24 @@ def _trunk_fwd_call(enc, ws, bs, skip, interpret, tile):
 # backward kernel
 
 
-def _bwd_kernel_factory(L: int, skip: int, H: int):
+def _bwd_kernel_factory(L: int, skip: int, H: int, use_wt: bool = False,
+                        nh: int = 1):
     def kernel(*refs):
         enc_ref = refs[0]
         gf_ref = refs[1]                # [T, H] feat cotangent
         gd_ref = refs[2]                # [T, IN_PAD] density cotangent (col 0)
         w_refs = refs[3:3 + L]
         b_refs = refs[3 + L:3 + 2 * L]
-        denc_ref = refs[3 + 2 * L]
-        dw_refs = refs[4 + 2 * L:4 + 3 * L]
-        db_refs = refs[4 + 3 * L:4 + 4 * L]
-        acts_ref = refs[4 + 4 * L]      # [L-1, T, H] bf16 scratch (post-relu)
-        last_ref = refs[5 + 4 * L]      # [T, H+128] f32 scratch (last pre-act)
+        base = 3 + 2 * L
+        wt_refs = None
+        if use_wt:
+            wt_refs = refs[base:base + L]
+            base += L
+        denc_ref = refs[base]
+        dw_refs = refs[base + 1:base + 1 + L]
+        db_refs = refs[base + 1 + L:base + 1 + 2 * L]
+        acts_ref = refs[base + 1 + 2 * L]  # [L-1, T, H] bf16 (post-relu)
+        last_ref = refs[base + 2 + 2 * L]  # [T, H+128] f32 (last pre-act)
 
         first = pl.program_id(0) == 0
 
@@ -134,57 +157,76 @@ def _bwd_kernel_factory(L: int, skip: int, H: int):
                 dw_refs[l][...] = jnp.zeros_like(dw_refs[l])
                 db_refs[l][...] = jnp.zeros_like(db_refs[l])
 
-        x = enc_ref[...]  # [T, IN_PAD] bf16
+        x_all = enc_ref[...]  # [T, IN_PAD] bf16
+        Th = x_all.shape[0] // nh
+        hs = [slice(h * Th, (h + 1) * Th) for h in range(nh)]
+        xs = [x_all[s] for s in hs]
 
         # --- recompute forward, stashing post-relu activations in VMEM
-        a = x
+        a = list(xs)
         for l in range(L):
-            inp = jnp.concatenate([a, x], axis=-1) if l == skip else a
-            pre = jax.lax.dot_general(
-                inp, w_refs[l][...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            pre = pre + b_refs[l][...].astype(jnp.float32)
-            if l == L - 1:
-                last_ref[...] = pre
-            else:
-                a = jax.nn.relu(pre).astype(jnp.bfloat16)
-                acts_ref[l] = a
+            for h in range(nh):
+                inp = (jnp.concatenate([a[h], xs[h]], axis=-1)
+                       if l == skip else a[h])
+                pre = jax.lax.dot_general(
+                    inp, w_refs[l][...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                pre = pre + b_refs[l][...].astype(jnp.float32)
+                if l == L - 1:
+                    last_ref[hs[h], :] = pre
+                else:
+                    a[h] = jax.nn.relu(pre).astype(jnp.bfloat16)
+                    acts_ref[l, hs[h]] = a[h]
 
         # --- backward through the tile
         # NOTE: all relu' masks compare in f32 — v5e Mosaic rejects bf16
         # vector comparisons ("Target does not support this comparison").
-        gf = gf_ref[...].astype(jnp.float32)  # [T, H]
-        gd = gd_ref[...].astype(jnp.float32)  # [T, IN_PAD]
         pre_last = last_ref[...]
-        g_pre = jnp.concatenate(
-            [jnp.where(pre_last[:, :H] > 0.0, gf, 0.0), gd], axis=1)
+        g_pre = [jnp.concatenate(
+            [jnp.where(pre_last[s, :H] > 0.0,
+                       gf_ref[s, :].astype(jnp.float32), 0.0),
+             gd_ref[s, :].astype(jnp.float32)], axis=1) for s in hs]
+        g_enc_skip = [None] * nh
         for l in range(L - 1, -1, -1):
-            if l == 0:
-                inp = x
-            elif l == skip:
-                inp = jnp.concatenate([acts_ref[l - 1], x], axis=-1)
-            else:
-                inp = acts_ref[l - 1]
-            g_bf = g_pre.astype(jnp.bfloat16)
-            dw = jax.lax.dot_general(inp, g_bf, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dw_refs[l][...] += dw
-            db_refs[l][...] += jnp.sum(g_pre, axis=0, keepdims=True)
-            g_x = jax.lax.dot_general(g_bf, w_refs[l][...],
-                                      (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            if l == 0:
-                denc_ref[...] = g_x.astype(jnp.bfloat16)
-            elif l == skip:
-                g_enc_skip = g_x[:, H:]
-                mask = acts_ref[l - 1][...].astype(jnp.float32) > 0.0
-                g_pre = jnp.where(mask, g_x[:, :H], 0.0)
-            else:
-                mask = acts_ref[l - 1][...].astype(jnp.float32) > 0.0
-                g_pre = jnp.where(mask, g_x, 0.0)
+            dw_acc = None
+            db_acc = None
+            for h in range(nh):
+                if l == 0:
+                    inp = xs[h]
+                elif l == skip:
+                    inp = jnp.concatenate([acts_ref[l - 1, hs[h]], xs[h]],
+                                          axis=-1)
+                else:
+                    inp = acts_ref[l - 1, hs[h]]
+                g_bf = g_pre[h].astype(jnp.bfloat16)
+                dw = jax.lax.dot_general(inp, g_bf, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                dw_acc = dw if dw_acc is None else dw_acc + dw
+                db = jnp.sum(g_pre[h], axis=0, keepdims=True)
+                db_acc = db if db_acc is None else db_acc + db
+                if use_wt:
+                    g_x = jax.lax.dot_general(g_bf, wt_refs[l][...],
+                                              (((1,), (0,)), ((), ())),
+                                              preferred_element_type=jnp.float32)
+                else:
+                    g_x = jax.lax.dot_general(g_bf, w_refs[l][...],
+                                              (((1,), (1,)), ((), ())),
+                                              preferred_element_type=jnp.float32)
+                if l == 0:
+                    denc_ref[hs[h], :] = g_x.astype(jnp.bfloat16)
+                elif l == skip:
+                    g_enc_skip[h] = g_x[:, H:]
+                    mask = acts_ref[l - 1, hs[h]].astype(jnp.float32) > 0.0
+                    g_pre[h] = jnp.where(mask, g_x[:, :H], 0.0)
+                else:
+                    mask = acts_ref[l - 1, hs[h]].astype(jnp.float32) > 0.0
+                    g_pre[h] = jnp.where(mask, g_x, 0.0)
+            dw_refs[l][...] += dw_acc
+            db_refs[l][...] += db_acc
         # add the skip branch's enc gradient (layer-0 write above ran last)
         if skip > 0:
-            denc_ref[...] += g_enc_skip.astype(jnp.bfloat16)
+            for h in range(nh):
+                denc_ref[hs[h], :] += g_enc_skip[h].astype(jnp.bfloat16)
 
     return kernel
 
@@ -194,6 +236,8 @@ def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret, tile):
     H = ws[0].shape[1]
     N = enc.shape[0]
     n_tiles = N // tile
+    use_wt = BWD_WT
+    wts = [jnp.swapaxes(w, 0, 1) for w in ws] if use_wt else []
     flops_layer = sum(2 * tile * w.shape[0] * w.shape[1] for w in ws)
     out_shapes = (
         [jax.ShapeDtypeStruct((N, IN_PAD), jnp.bfloat16)]
@@ -206,7 +250,7 @@ def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret, tile):
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for b in bs])
     outs = pl.pallas_call(
-        _bwd_kernel_factory(L, skip, H),
+        _bwd_kernel_factory(L, skip, H, use_wt=use_wt, nh=INTERLEAVE),
         out_shape=out_shapes,
         grid=(n_tiles,),
         in_specs=(
@@ -216,7 +260,9 @@ def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret, tile):
             + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for w in ws]
             + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-               for b in bs]),
+               for b in bs]
+            + [pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+               for wt in wts]),
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((L - 1, tile, H), jnp.bfloat16),
@@ -227,7 +273,7 @@ def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret, tile):
             bytes_accessed=N * (IN_PAD + H + IN_PAD) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(enc, g_feat, g_dens, *ws, *bs)
+    )(enc, g_feat, g_dens, *ws, *bs, *wts)
     denc = outs[0]
     dws = outs[1:1 + L]
     dbs = outs[1 + L:]

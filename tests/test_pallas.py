@@ -167,6 +167,47 @@ class TestFusedTrunk:
         assert not fused_mlp.supports(SceneConfig(layers_feat=(48,) * 4, skip=(2,)))
         assert not fused_mlp.supports(SceneConfig(skip=(1, 4)))
 
+    def test_variant_parity(self):
+        """BWD_WT/INTERLEAVE tuning variants vs the baseline kernel.
+
+        --wt (pre-transposed bwd weights) is bit-exact everywhere.
+        INTERLEAVE>1 is bit-exact for the forward and the enc gradient
+        (per-row computations); dW/db sum the SAME per-point products in a
+        different order (split-tile f32 partial sums), so they are compared
+        allclose, not equal.
+        """
+        from poseprobe_tpu.ops.pallas import fused_mlp
+        layers = self._layers()
+        enc = jax.random.normal(jax.random.PRNGKey(5), (1024, self.D))
+
+        def f(params, enc):
+            raw, feat = fused_mlp.fused_trunk(enc, params, self.SKIP,
+                                              interpret=True, tile=512)
+            return jax.nn.softplus(raw).sum() + (feat.astype(jnp.float32) ** 2).sum()
+
+        def run(wt, il):
+            old = fused_mlp.BWD_WT, fused_mlp.INTERLEAVE
+            fused_mlp.BWD_WT, fused_mlp.INTERLEAVE = wt, il
+            try:
+                val, (gp, ge) = jax.value_and_grad(f, argnums=(0, 1))(layers, enc)
+            finally:
+                fused_mlp.BWD_WT, fused_mlp.INTERLEAVE = old
+            return val, gp, ge
+
+        val0, gp0, ge0 = run(False, 1)
+        for wt, il in [(True, 1), (False, 2), (True, 2)]:
+            val, gp, ge = run(wt, il)
+            assert np.array_equal(np.asarray(val0), np.asarray(val)), (wt, il)
+            assert np.array_equal(np.asarray(ge0), np.asarray(ge)), (wt, il)
+            for l in range(self.L):
+                for k in ("w", "b"):
+                    a, b = np.asarray(gp0[l][k]), np.asarray(gp[l][k])
+                    if il == 1:
+                        assert np.array_equal(a, b), (wt, il, l, k)
+                    else:
+                        assert np.abs(a - b).max() <= 1e-2 * (np.abs(a).max() + 1e-6), \
+                            (wt, il, l, k)
+
 
 class TestPallasRenderPath:
     def test_object_render_pallas_flag_matches_default(self):
