@@ -103,7 +103,24 @@ def render_video(scene_params, scene_cfg, poses_w2c, K, H, W, depth_range,
                                     jnp.asarray(K), H, W, depth_range)
         rgb_frames.append((np.clip(np.asarray(out["rgb"]), 0, 1) * 255).astype(np.uint8))
         depth_frames.append(colorize_depth(np.asarray(out["depth"]), depth_range))
-    imageio.mimwrite(out_path, rgb_frames, fps=fps)
+    out_path = _write_animation(out_path, rgb_frames, fps)
     if depth_out_path:
-        imageio.mimwrite(depth_out_path, depth_frames, fps=fps)
+        _write_animation(depth_out_path, depth_frames, fps)
     return out_path
+
+
+def _write_animation(out_path: str, frames: list, fps: int) -> str:
+    """mimwrite with a GIF fallback: mp4 needs an ffmpeg/pyav imageio backend
+    that may not exist in a hermetic environment; GIF encodes via pillow,
+    which is always present. Returns the path actually written."""
+    import imageio
+
+    try:
+        imageio.mimwrite(out_path, frames, fps=fps)
+        return out_path
+    except (ValueError, ImportError):
+        alt = os.path.splitext(out_path)[0] + ".gif"
+        # pillow's GIF writer takes per-frame duration (ms), not fps
+        imageio.mimwrite(alt, frames, duration=1000.0 / fps, loop=0)
+        print(f"[video] no mp4 backend; wrote {alt} instead")
+        return alt
