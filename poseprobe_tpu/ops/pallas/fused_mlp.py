@@ -40,7 +40,9 @@ TILE = 512  # default point-tile; override per call (see fused_trunk(tile=))
 IN_PAD = 128  # encoded-input width after padding (63 -> 128 for L_3D=10)
 
 # Tuning switches (read at trace time; benchmarks/microbench_trunk.py A/Bs
-# them on the real TPU before they become defaults):
+# them on the real TPU before they become defaults). Env overrides
+# POSEPROBE_TRUNK_WT=1 / POSEPROBE_TRUNK_INTERLEAVE=N let any CLI
+# (bench.py, run.py) A/B a variant at the full-train-step level:
 # * BWD_WT: feed the backward kernel pre-transposed copies of every weight
 #   matrix so the dx matmul is a plain row-major GEMM instead of making
 #   Mosaic re-transpose the [D, H] weight on every grid step.
@@ -48,8 +50,10 @@ IN_PAD = 128  # encoded-input width after padding (63 -> 128 for L_3D=10)
 #   interleaved layer-by-layer, so the MXU matmul of one sub-chain can
 #   overlap the VPU relu/round of the other (the 8 trunk matmuls are
 #   otherwise one serial dependency chain per tile).
-BWD_WT = False
-INTERLEAVE = 1
+import os as _os
+
+BWD_WT = _os.environ.get("POSEPROBE_TRUNK_WT", "") == "1"
+INTERLEAVE = int(_os.environ.get("POSEPROBE_TRUNK_INTERLEAVE", "1"))
 
 
 def _cdiv(a, b):
