@@ -25,21 +25,8 @@ sys.path.insert(0, ".")
 
 
 def analytic_surface_samples(probe: str, half: float, n: int, seed: int = 0) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    if probe == "sphere":
-        v = rng.normal(size=(n, 3))
-        v /= np.linalg.norm(v, axis=-1, keepdims=True)
-        return (v * half).astype(np.float32)
-    if probe == "cube":
-        face = rng.integers(0, 6, n)
-        uv = rng.uniform(-half, half, size=(n, 2))
-        pts = np.empty((n, 3), np.float32)
-        axis, sign = face // 2, np.where(face % 2 == 0, 1.0, -1.0)
-        for i in range(n):
-            pts[i, axis[i]] = sign[i] * half
-            pts[i, [j for j in range(3) if j != axis[i]]] = uv[i]
-        return pts
-    raise ValueError(probe)
+    from poseprobe_tpu.data.synthetic import probe_surface_points
+    return probe_surface_points(n, half=half, probe=probe, seed=seed).astype(np.float32)
 
 
 def main():
@@ -60,15 +47,19 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from poseprobe_tpu.config.config import ExperimentConfig
+    import argparse as _ap
+
+    import run as run_mod
     from poseprobe_tpu.eval import mesh as mesh_mod
     from poseprobe_tpu.models import object_sdf
     from poseprobe_tpu.train import state as state_mod
 
     payload = state_mod.load_checkpoint(args.ckpt)
-    # ckpts store params, not configs (train/state.py); the synthetic-scene
-    # runs all use the default ObjectConfig bbox, so reconstruct it
-    cfg = ExperimentConfig().object_model
+    # ckpts store params, not configs (train/state.py); reconstruct the SAME
+    # ObjectConfig run.py builds for --synthetic (bbox (-0.56, 0.56), 64^3 —
+    # the default ExperimentConfig bbox is different and yields garbage
+    # trilerp coords -> an empty mesh)
+    cfg = run_mod.load_config(_ap.Namespace(synthetic=True, config="")).object_model
     params = jax.tree.map(lambda x: x, payload["obj_params"])
 
     vol = object_sdf.extract_sdf_volume(params, cfg, resolution=args.resolution,

@@ -33,11 +33,19 @@ def main():
     p.add_argument("--no_test_optim", action="store_true")
     p.add_argument("--render_video", action="store_true")
     p.add_argument("--eval_mesh", action="store_true")
+    p.add_argument("--mesh_only", action="store_true",
+                   help="skip the NVS/pose eval; just extract + score the mesh")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (mesh-only eval needs no TPU)")
     p.add_argument("--gt_stl", type=str, default="")
     p.add_argument("--matcher", type=str, default="auto")
     args = p.parse_args()
 
     import numpy as np
+    if args.cpu:
+        import jax
+        # the axon site hook pins JAX_PLATFORMS; config update wins (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import run as run_mod
@@ -77,18 +85,19 @@ def main():
             test_depth_gt=None if data.depth_gt is None
             else data.depth_gt[data.i_test])
 
-    # reference saves both blocks for the joint model (`recon_scene.py:906-929`)
-    results = {"iteration": trainer.state.step}
-    if not args.no_test_optim and cfg.scene_train.test_photo:
-        results["w_test_optim"] = run_one(True, save=True)
-        results["without_test_optim"] = run_one(False, save=False)
-    else:
-        results.update(run_one(False, save=True))
-    print(json.dumps(results, indent=2))
-    with open(os.path.join(out_dir, f"{cfg.expname}.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    if not args.mesh_only:
+        # reference saves both blocks for the joint model (`recon_scene.py:906-929`)
+        results = {"iteration": trainer.state.step}
+        if not args.no_test_optim and cfg.scene_train.test_photo:
+            results["w_test_optim"] = run_one(True, save=True)
+            results["without_test_optim"] = run_one(False, save=False)
+        else:
+            results.update(run_one(False, save=True))
+        print(json.dumps(results, indent=2))
+        with open(os.path.join(out_dir, f"{cfg.expname}.json"), "w") as f:
+            json.dump(results, f, indent=2)
 
-    if args.eval_mesh:
+    if args.eval_mesh or args.mesh_only:
         vol = object_sdf.extract_sdf_volume(trainer.state.obj_params, cfg.object_model,
                                             resolution=256)
         verts, tris = mesh_mod.extract_mesh_world(
@@ -99,6 +108,34 @@ def main():
             gt_pts = dtu_protocol.load_stl_points(args.gt_stl)
             chamfer = dtu_protocol.evaluate_mesh_dtu(verts, tris, gt_pts)
             print("[eval] chamfer:", chamfer)
+            with open(os.path.join(out_dir, "chamfer.json"), "w") as f:
+                json.dump(chamfer, f, indent=2)
+        elif cfg.data.dataset_type == "synthetic":
+            # hermetic geometry protocol: the probe surface is analytic, so
+            # the "GT scan" is exact (the DTU analog of stl_total.ply). Mesh
+            # verts live in the TRAINED gauge; carry them into GT units with
+            # the same sim3 that aligns the train poses for the pose metrics.
+            from poseprobe_tpu.data import synthetic as synth_mod
+            _, sim3 = align.prealign_w2c_small_camera_systems(
+                cur, data.poses_gt_w2c[data.i_train])
+            verts_gt = align.apply_sim3_points(verts, sim3)
+            gt_pts = synth_mod.probe_surface_points(probe=args.probe)
+            pad = 0.15
+            bbox = np.stack([gt_pts.min(0) - pad, gt_pts.max(0) + pad])
+            # observation-mask culling (lib/dtu_eval.py ObsMask analog): the
+            # SDF is unconstrained outside the training views' visual hull,
+            # and the GT back side was never observed — neither is scored.
+            tr = data.i_train
+            hull = lambda p: dtu_protocol.visual_hull_cull(
+                p, data.masks[tr], data.poses_gt_w2c[tr], data.Ks[tr])
+            seen = (None if data.depth_gt is None else
+                    (lambda p: dtu_protocol.visible_in_any_view(
+                        p, data.depth_gt[tr], data.poses_gt_w2c[tr], data.Ks[tr])))
+            chamfer = dtu_protocol.evaluate_mesh_dtu(
+                verts_gt, tris, gt_pts, bbox=bbox, max_dist=0.5,
+                pred_cull=hull, gt_cull=seen)
+            chamfer["sim3_scale"] = sim3.s
+            print("[eval] synthetic GT chamfer (world units):", chamfer)
             with open(os.path.join(out_dir, "chamfer.json"), "w") as f:
                 json.dump(chamfer, f, indent=2)
 

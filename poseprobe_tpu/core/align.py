@@ -244,3 +244,17 @@ def backtrack_from_aligning_the_trajectory(pose_GT_w2c, sim3: Sim3) -> jnp.ndarr
     t_aligned = (R_T / sim3.s) @ (pose_GT_c2w[:, :3, 3:4] - _np64(sim3.t))
     aligned_c2w = np.concatenate([R_aligned, t_aligned], axis=-1)
     return jnp.asarray(_invert(aligned_c2w), dtype=jnp.float32)
+
+
+def apply_sim3_points(pts: np.ndarray, sim3: Sim3) -> np.ndarray:
+    """Map WORLD points from the optimized gauge into the GT gauge.
+
+    The sim3 returned by the prealign functions maps optimized c2w poses to
+    GT c2w as `c' = R @ (s * c) + t` (camera centers transform like world
+    points under a rigid-scene gauge change), so the same map carries mesh
+    vertices into GT units for chamfer evaluation. Host float64.
+    """
+    pts = _np64(pts)
+    R = _np64(sim3.R)[0]
+    t = _np64(sim3.t).reshape(1, 3)
+    return (sim3.s * pts) @ R.T + t

@@ -44,6 +44,35 @@ def _probe_sdf(p: np.ndarray, half: float, probe: str) -> np.ndarray:
     raise ValueError(f"unknown probe shape: {probe!r}")
 
 
+def probe_surface_points(n: int = 200_000, half: float = 0.35,
+                         probe: str = "cube", seed: int = 0) -> np.ndarray:
+    """Uniform-area samples of the GT probe surface in WORLD coordinates.
+
+    The hermetic analog of the reference DTU protocol's `stl_total.ply` GT
+    point cloud (`lib/dtu_eval.py` loads the scanner ground truth): the
+    synthetic scene's probe geometry is analytic, so the "scanner" is exact.
+    Used by `eval.py --eval_mesh` on synthetic runs to score the extracted
+    object mesh with chamfer distance in GT units.
+    """
+    rng = np.random.default_rng(seed)
+    if probe == "sphere":
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        return (v * half).astype(np.float64)
+    if probe == "cube":
+        face = rng.integers(0, 6, n)
+        uv = rng.uniform(-half, half, (n, 2))
+        ax, sg = face // 2, (face % 2) * 2.0 - 1.0
+        pts = np.zeros((n, 3))
+        rows = np.arange(n)
+        pts[rows, ax] = sg * half
+        other = np.array([[a for a in range(3) if a != x] for x in range(3)])
+        pts[rows, other[ax, 0]] = uv[:, 0]
+        pts[rows, other[ax, 1]] = uv[:, 1]
+        return pts
+    raise ValueError(f"unknown probe shape: {probe!r}")
+
+
 def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0, probe="cube"):
     """Analytic render: colored probe (cube/sphere) + gradient background wall.
 

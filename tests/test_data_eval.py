@@ -54,6 +54,86 @@ class TestMesh:
         content = open(path).read()
         assert "element vertex 3" in content and "element face 1" in content
 
+    @pytest.mark.parametrize("probe", ["cube", "sphere"])
+    def test_synthetic_gt_chamfer_protocol(self, probe):
+        """The hermetic DTU-protocol analog: an exact SDF volume of the probe,
+        marching-tets extracted, must chamfer ~0 against the analytic GT
+        surface samples (eval.py --eval_mesh on synthetic runs)."""
+        from poseprobe_tpu.data import synthetic as synth_mod
+        from poseprobe_tpu.eval import dtu_protocol
+        half, n = 0.35, 48
+        ax = np.linspace(-0.6, 0.6, n)
+        X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+        p = np.stack([X, Y, Z], -1).reshape(-1, 3)
+        vol = -synth_mod._probe_sdf(p, half, probe).reshape(n, n, n)
+        verts, tris = mesh.extract_mesh_world(vol, [-0.6] * 3, [0.6] * 3)
+        gt = synth_mod.probe_surface_points(20_000, half=half, probe=probe)
+        res = dtu_protocol.evaluate_mesh_dtu(verts, tris, gt, n_samples=20_000,
+                                             max_dist=0.5)
+        # voxel size 1.2/47 = 0.0255; trilinear surface sits well inside one
+        assert res["overall"] < 0.02, res
+
+    def test_observation_mask_culling(self):
+        """visual_hull_cull keeps probe-surface points and rejects
+        unobserved-region garbage; visible_in_any_view keeps the observed
+        front of the probe and drops the self-occluded back side."""
+        from poseprobe_tpu.data import synthetic as synth_mod
+        from poseprobe_tpu.eval import dtu_protocol
+        data = synth_mod.make_synthetic_scene(n_train=3, n_test=0, H=48, W=48)
+        tr = data.i_train
+        surf = synth_mod.probe_surface_points(2000, seed=1)
+        keep = dtu_protocol.visual_hull_cull(
+            surf, data.masks[tr], data.poses_gt_w2c[tr], data.Ks[tr])
+        assert keep.mean() > 0.95  # real surface survives the hull
+        # a 3-view hull is a prism along the (narrow-arc) view axis: it can
+        # only cull garbage that leaves the silhouette LATERALLY (x/y), not
+        # along the viewing direction — assert exactly that
+        rng = np.random.default_rng(0)
+        lateral = rng.uniform(-0.55, 0.55, (2000, 3))
+        lateral = lateral[np.abs(lateral[:, :2]).max(1) > 0.48]
+        keep_j = dtu_protocol.visual_hull_cull(
+            lateral, data.masks[tr], data.poses_gt_w2c[tr], data.Ks[tr])
+        # (a few far-side points survive: perspective shrinks their
+        # projection back inside the silhouette — physically correct)
+        assert keep_j.mean() < 0.2
+        # cameras sit on the -z side: the probe's -z face is observed,
+        # the +z face is self-occluded
+        front = surf[surf[:, 2] < -0.3]
+        back = surf[surf[:, 2] > 0.3]
+        seen_f = dtu_protocol.visible_in_any_view(
+            front, data.depth_gt[tr], data.poses_gt_w2c[tr], data.Ks[tr])
+        seen_b = dtu_protocol.visible_in_any_view(
+            back, data.depth_gt[tr], data.poses_gt_w2c[tr], data.Ks[tr])
+        assert seen_f.mean() > 0.8
+        assert seen_b.mean() < 0.1
+
+    def test_apply_sim3_points_matches_camera_center_map(self):
+        """apply_sim3_points must use the SAME gauge map the prealigners apply
+        to camera centers, so mesh verts land in GT units."""
+        from poseprobe_tpu.core import align
+        from scipy.spatial.transform import Rotation
+        rng = np.random.default_rng(3)
+        R = Rotation.from_rotvec(rng.normal(0, 0.5, 3)).as_matrix()
+        t, s = rng.normal(0, 1, 3), 1.7
+        # GT c2w poses = sim3 applied to trained c2w poses
+        def rand_pose():
+            Rc = Rotation.from_rotvec(rng.normal(0, 0.5, 3)).as_matrix()
+            return np.concatenate([Rc, rng.normal(0, 1, (3, 1))], 1)
+        trained_c2w = np.stack([rand_pose() for _ in range(4)])
+        gt_c2w = trained_c2w.copy()
+        gt_c2w[:, :3, :3] = R[None] @ trained_c2w[:, :3, :3]
+        gt_c2w[:, :3, 3] = (s * trained_c2w[:, :3, 3]) @ R.T + t
+        inv = lambda P: np.stack([np.concatenate(
+            [p[:3, :3].T, -p[:3, :3].T @ p[:3, 3:4]], 1) for p in P])
+        aligned, sim3 = align.prealign_w2c_small_camera_systems(
+            inv(trained_c2w), inv(gt_c2w))
+        err = align.evaluate_camera_alignment(aligned, inv(gt_c2w))
+        assert err["R"].max() < 1e-6 and err["t"].max() < 1e-6
+        pts = rng.normal(0, 1, (100, 3))
+        pts_gt = (s * pts) @ R.T + t
+        np.testing.assert_allclose(align.apply_sim3_points(pts, sim3), pts_gt,
+                                   atol=1e-8)
+
 
 class TestMetrics:
     def test_psnr(self):
