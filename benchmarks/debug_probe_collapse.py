@@ -30,11 +30,24 @@ def main():
                     help="override the NeuS sharpness schedule ratio (0 = default)")
     ap.add_argument("--deform_prior_init", type=float, default=-1.0,
                     help="override the deform-prior initial weight (<0 = default)")
+    ap.add_argument("--voxels", type=int, default=32,
+                    help="object grid resolution per axis (CPU-runnable scale)")
+    ap.add_argument("--n_rand", type=int, default=256,
+                    help="object-phase ray batch")
+    ap.add_argument("--scene_samples", type=int, default=32,
+                    help="scene branch depth samples (coarse and fine)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the axon TPU (default: CPU; obey the queue "
+                         "discipline — one TPU process at a time)")
+    ap.add_argument("--full_scale", action="store_true",
+                    help="production sizes (64^3 grid, N_rand 1024, 128 scene "
+                         "samples) — pair with --tpu")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     import run as run_mod
@@ -47,14 +60,25 @@ def main():
     n_iters = args.object_iters or args.steps
     cfg = run_mod.load_config(argparse.Namespace(synthetic=True, config=""))
     max_iter = max(args.steps, 4000)
-    obj_model_over = {"N_iters": n_iters}
+    if args.full_scale:
+        args.voxels, args.n_rand, args.scene_samples, args.hw = 64, 1024, 128, 64
+    obj_model_over = {"N_iters": n_iters,
+                      "num_voxels": args.voxels**3,
+                      "num_voxels_base": args.voxels**3}
     if args.s_ratio > 0:
         obj_model_over["s_ratio"] = args.s_ratio
+    obj_train_over = {"N_iters": n_iters, "N_rand": args.n_rand}
+    if args.deform_prior_init >= 0:
+        obj_train_over["weight_deform_prior_init"] = args.deform_prior_init
     cfg = dataclasses.replace(
         cfg,
         object_model=dataclasses.replace(cfg.object_model, **obj_model_over),
-        object_train=dataclasses.replace(cfg.object_train, N_iters=n_iters),
-        scene_model=dataclasses.replace(cfg.scene_model, max_iter=max_iter),
+        object_train=dataclasses.replace(cfg.object_train, **obj_train_over),
+        scene_model=dataclasses.replace(
+            cfg.scene_model, max_iter=max_iter,
+            sample_intvs=args.scene_samples,
+            sample_intvs_fine=args.scene_samples,
+            rand_rays=args.n_rand),
         scene_train=dataclasses.replace(cfg.scene_train, max_iter=max_iter))
 
     data = load_data(cfg.data, H=args.hw, W=args.hw, probe=args.probe)

@@ -151,6 +151,12 @@ class ObjectTrainConfig:
     weight_surface_projection: float = 0.0
     projection_dis_error: float = 0.001
     weight_near_surface: float = 0.1
+    # deform-prior (grad_deform/sdf_correct/sdf_deform) dynamic weight
+    # endpoints, exp-decayed over the object phase (`lib/losses.py:30-32,54-63`
+    # hardcodes 1e-1 -> 1e-3; exposed here for non-cube probe studies where
+    # the priors pin the cube init)
+    weight_deform_prior_init: float = 1e-1
+    weight_deform_prior_final: float = 1e-3
     # progressive grid scaling checkpoints (`configs/default_fine_s.py:70`,
     # `configs/dtu_e2e/fine.py:24`): training starts at
     # num_voxels / 2^len(pg_scale) and doubles the voxel count at each step

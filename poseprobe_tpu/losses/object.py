@@ -40,6 +40,8 @@ def object_losses(
     weight_tv_k0: float = 0.0,
     k0_tv_value=None,
     use_deform: bool = True,
+    deform_prior_init: float = 1e-1,
+    deform_prior_final: float = 1e-3,
 ):
     """Returns (scalars dict, weights dict, total loss)."""
     scalars, weights = {}, {}
@@ -64,7 +66,7 @@ def object_losses(
     weights["grad_constraint"] = 1.0
 
     if use_deform:
-        w = dynamic_weight(1e-1, 1e-3, iteration, total_iterations)
+        w = dynamic_weight(deform_prior_init, deform_prior_final, iteration, total_iterations)
         jd = render_out["grad_deform"]
         jac_norm = jnp.sqrt(jnp.sum(jd * jd, axis=-1) + 1e-12)  # [..., 3]
         scalars["grad_deform_constraint"] = (jac_norm * valid[..., None]).sum() / (valid.sum() * 3 + 1e-9)

@@ -271,7 +271,9 @@ class JointTrainer:
                 scalars, weights, obj_loss, psnr = object_losses_mod.object_losses(
                     render_out, batch.target, batch.mask, step_f, oc.N_iters,
                     weight_main=ot.weight_main, weight_mask=ot.weight_mask,
-                    weight_tv_k0=ot.weight_tv_k0, k0_tv_value=k0_tv, use_deform=True)
+                    weight_tv_k0=ot.weight_tv_k0, k0_tv_value=k0_tv, use_deform=True,
+                    deform_prior_init=ot.weight_deform_prior_init,
+                    deform_prior_final=ot.weight_deform_prior_final)
                 obj_loss = obj_loss + self._tv_density_loss(obj_p, step)
                 metrics["psnr_obj"] = psnr
                 metrics["s_val"] = render_out["s_val"]

@@ -42,6 +42,10 @@ def parse_args():
     p.add_argument("--i_ckpt", type=int, default=5000)
     p.add_argument("--i_validate_mesh", type=int, default=0,
                    help="extract + save the object mesh every N steps (0 = off)")
+    p.add_argument("--grid_stats", action="store_true",
+                   help="log raw SDF-grid stats (min/max/frac<0, alpha/beta) "
+                        "into metrics.jsonl each log interval during the "
+                        "object phase (collapse diagnosis)")
     p.add_argument("--no_test_optim", action="store_true",
                    help="skip test-time photometric pose optimization")
     p.add_argument("--matcher", type=str, default="auto",
@@ -349,6 +353,15 @@ def main():
 
     def on_log(h):
         h["wall"] = round(time.time() - t0, 2)  # for time-to-PSNR analysis
+        if args.grid_stats and h["step"] <= cfg.object_train.N_iters + 200:
+            raw = np.asarray(trainer.state.obj_params["sdf_grid"])
+            h["raw_min"] = round(float(raw.min()), 3)
+            h["raw_max"] = round(float(raw.max()), 3)
+            h["frac_neg"] = round(float((raw < 0).mean()), 4)
+            h["map_alpha"] = round(float(object_sdf.softplus10(
+                trainer.state.obj_params["sdf_alpha"])), 3)
+            h["map_beta"] = round(float(object_sdf.softplus10(
+                trainer.state.obj_params["sdf_beta"])), 4)
         # pose error vs GT after small-system alignment (`recon_scene.py:654-668`)
         try:
             cur_p = trainer.current_pose_host()[: trainer.state.n_active]
