@@ -82,7 +82,8 @@ class ObjectConfig:
     # (`MaskCache`/`maskcache_lookup`, voxurf_coarse.py:1271-1292,
     # render_utils_kernel.cu:374-424). thres is in raw SDF (world) units.
     use_maskcache: bool = False
-    maskcache_thres: float = 0.05
+    maskcache_thres: float = 0.05   # raw-units variant (build_mask_grid)
+    maskcache_sigma: float = 3.0    # mapped-units: keep mapped sdf < sigma*s_val
     maskcache_keep: float = 0.5
     maskcache_dilate: int = 3
 

@@ -58,6 +58,52 @@ def build_mask_grid(sdf_grid: jnp.ndarray, thres: float, dilate: int = 3) -> jnp
     return jax.lax.stop_gradient(sdf < thres)
 
 
+def build_mask_grid_mapped(mapped_grid: jnp.ndarray, s_val: float,
+                           sigma: float = 3.0, dilate: int = 3,
+                           min_frac: float = 0.02,
+                           prev: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Occupancy from the MAPPED SDF, thresholded in the current NeuS regime.
+
+    ``min-pool(mapped_sdf) < sigma * s_val``: a voxel is kept when its mapped
+    SDF is within ``sigma`` sigmoid widths of the surface at the CURRENT
+    sharpness (`neus_alpha_from_sdf` uses sigmoid scale ``1/s_val``; samples
+    with mapped sdf >> s_val contribute ~zero alpha, so only provably-dead
+    space is skipped).
+
+    Why not the raw grid + fixed threshold (`build_mask_grid`): during the
+    object phase the learned alpha/beta mapping and the raw grid's scale
+    drift freely — a fixed raw-units threshold changes meaning under them.
+    Measured failure (queue35 bisect, logs/run_journal/README_r3.md): on a
+    sphere probe the raw-threshold mask ratchets shut — carving pushes voxels
+    past the threshold, the next rebuild excludes them, excluded voxels never
+    receive gradients again — draining the grid to all-positive (empty
+    object) while the identical run without the mask reaches psnr_obj 35.
+    Thresholding in mapped units at ``sigma * s_val`` is self-stabilizing:
+    when the mapping flattens (healthy early dynamics collapse beta, mapped
+    amplitude << s_val) the mask relaxes to everything, and it only tightens
+    once the SDF is sharp relative to the rendering sigmoid — exactly when
+    free-space skipping is trustworthy.
+
+    ``min_frac``: never-strangle floor. If the rebuilt mask would keep less
+    than this fraction of voxels (a draining/degenerate grid), fall back to
+    ``prev`` (or all-True) instead of locking the object out entirely.
+    """
+    sdf = mapped_grid[0] if mapped_grid.ndim == 4 else mapped_grid
+    if dilate > 1:
+        sdf = jax.lax.reduce_window(
+            sdf, jnp.asarray(jnp.inf, sdf.dtype), jax.lax.min,
+            window_dimensions=(dilate,) * 3, window_strides=(1,) * 3,
+            padding="SAME")
+    mask = jax.lax.stop_gradient(sdf < sigma * s_val)
+    # host-side guard: rebuilds happen in host event code, so a concrete
+    # fraction check is fine (and keeps the jitted train step mask-shape-free)
+    import numpy as np
+    frac = float(np.asarray(mask.mean()))
+    if frac < min_frac:
+        return prev if prev is not None else jnp.ones_like(mask)
+    return mask
+
+
 def mask_lookup(mask: jnp.ndarray, xyz: jnp.ndarray, xyz_min, xyz_max) -> jnp.ndarray:
     """Nearest-voxel occupancy at world points (CUDA `maskcache_lookup` parity).
 

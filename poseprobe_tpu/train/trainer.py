@@ -487,12 +487,34 @@ class JointTrainer:
         self.state.opt_obj = self.opt_obj.init(obj)
 
     def refresh_maskcache(self) -> None:
-        """(Re)build the free-space occupancy mask from the current SDF grid."""
-        from ..ops import maskcache
+        """(Re)build the free-space occupancy mask.
+
+        During the PLASTIC object phase (step <= N_iters) the mask is
+        all-True: occupancy skipping on in-flux geometry ratchets shut and
+        drains non-cube probes (queue35 bisect: the raw-threshold mask ended
+        literally empty on the sphere run — every sample dropped, no gradient
+        could ever recover it — while the identical run without the mask
+        reached psnr_obj 35). The reference never skips during plastic
+        training either: its MaskCache is frozen from a CONVERGED coarse
+        stage (`lib/voxurf_coarse.py:1271-1292`). The K-lane compaction
+        (the TPU perf lever) still applies with an all-True mask.
+
+        After the phase, occupancy is rebuilt from the MAPPED grid
+        thresholded at the current NeuS sharpness (``build_mask_grid_mapped``,
+        self-stabilizing under the drifting alpha/beta mapping) and serves
+        eval renders + scene-phase PnP surface queries."""
+        from ..ops import compositing, maskcache
 
         om = self.cfg.object_model
-        self.mask_arr = maskcache.build_mask_grid(
-            self.state.obj_params["sdf_grid"], om.maskcache_thres, om.maskcache_dilate)
+        if self.state.step <= self.cfg.object_train.N_iters:
+            self.mask_arr = jnp.ones(self.state.obj_params["sdf_grid"].shape[1:], bool)
+            return
+        s_val = float(compositing.s_val_schedule(
+            min(self.state.step, om.N_iters), om.s_ratio, om.s_start, om.step_start))
+        mapped = object_sdf.processed_sdf_grid(self.state.obj_params, om)
+        self.mask_arr = maskcache.build_mask_grid_mapped(
+            mapped, s_val, sigma=om.maskcache_sigma, dilate=om.maskcache_dilate,
+            prev=self.mask_arr)
 
     def maybe_pg_scale(self, step: int) -> None:
         """Progressive-scaling host event: double the voxel count at each
@@ -774,7 +796,7 @@ class JointTrainer:
         cands += [s for s in self._pg_scale if s > step]  # maybe_pg_scale
         if cfg.camera.reregister_at_ratio is not None:
             cands.append(int(cfg.camera.reregister_at_ratio * cfg.scene_model.max_iter))
-        if cfg.object_model.use_maskcache and step <= ot.N_iters:
+        if cfg.object_model.use_maskcache and step <= ot.N_iters + ot.maskcache_update_every:
             upd = ot.maskcache_update_every
             cands.append(((step // upd) + 1) * upd)     # refresh_maskcache
         # phase-flag flips (phase_flags thresholds)
@@ -798,7 +820,7 @@ class JointTrainer:
             if step == rereg_at and step > 0:
                 self.reregister_poses()
             if (self.cfg.object_model.use_maskcache and step > 0
-                    and step <= ot.N_iters
+                    and step <= ot.N_iters + ot.maskcache_update_every
                     and step % ot.maskcache_update_every == 0):
                 self.refresh_maskcache()
             limit = min(end_step, self._next_boundary(step))

@@ -41,6 +41,33 @@ def test_build_mask_grid_dilates():
     assert not m[1, 1, 1]
 
 
+def test_build_mask_grid_mapped_regimes():
+    """Mapped-units mask: tightens only when the SDF is sharp relative to the
+    NeuS sigmoid, relaxes to all-True when the mapping is flat, and the
+    never-strangle floor returns prev/all-True on a drained grid (the queue35
+    sphere-collapse ratchet)."""
+    ax = jnp.linspace(-1, 1, 16)
+    X, Y, Z = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    dist = jnp.sqrt(X**2 + Y**2 + Z**2) - 0.5  # metric sphere SDF
+    # sharp regime: s_val small -> only the shell+interior stays
+    m_sharp = np.asarray(maskcache.build_mask_grid_mapped(dist[None], 0.02,
+                                                          sigma=3.0, dilate=1))
+    assert 0.05 < m_sharp.mean() < 0.35
+    assert m_sharp[8, 8, 8] and not m_sharp[0, 0, 0]
+    # flat-mapping regime (healthy early dynamics): amplitude << s -> keep all
+    m_flat = np.asarray(maskcache.build_mask_grid_mapped(0.001 * dist[None], 0.1,
+                                                         sigma=3.0, dilate=1))
+    assert m_flat.all()
+    # drained grid (all positive, far from zero): floor kicks in
+    prev = jnp.zeros((16, 16, 16), bool).at[2, 2, 2].set(True)
+    m_guard = maskcache.build_mask_grid_mapped(dist[None] + 10.0, 0.02,
+                                               sigma=3.0, dilate=1, prev=prev)
+    np.testing.assert_array_equal(np.asarray(m_guard), np.asarray(prev))
+    m_guard2 = np.asarray(maskcache.build_mask_grid_mapped(dist[None] + 10.0, 0.02,
+                                                           sigma=3.0, dilate=1))
+    assert m_guard2.all()
+
+
 def test_mask_lookup_nearest_voxel():
     mask = jnp.zeros((5, 5, 5), bool).at[2, 3, 1].set(True)
     lo, hi = jnp.asarray([-1.0] * 3), jnp.asarray([1.0] * 3)
