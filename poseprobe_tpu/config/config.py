@@ -95,6 +95,10 @@ class CameraConfig:
     # orientation but injects along-view translation against blurry renders;
     # rotation must be right before its window closes, translation heals.
     activation_warmup_rot_only: bool = False
+    # soft camera-center anchor toward the warmup seed (PnP center); see
+    # evaluator.test_time_pose_optim — fixes the warmup's depth-ambiguous
+    # translation inflation without rot_only's frozen-center failure mode
+    activation_warmup_center_anchor: float = 0.0
     # catastrophic-PnP rescue tournament (0 = off): RANSAC occasionally
     # draws a degenerate solve that fits its anchors at sub-pixel error yet
     # is wildly wrong (observed: med_reproj 0.3px but rel-pose R 35deg,

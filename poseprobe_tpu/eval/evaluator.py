@@ -46,6 +46,7 @@ def test_time_pose_optim(
     progress: float = 1.0,
     use_fine: bool | None = None,
     rot_only: bool = False,
+    center_anchor: float = 0.0,
 ) -> jnp.ndarray:
     """Optimize a per-image se3 refinement photometrically (`renderer.py:1312-1337`).
 
@@ -60,6 +61,15 @@ def test_time_pose_optim(
     along-view-axis translation error (instrumented: t 6.6 -> 20.9 while
     R 2.2 -> 0.03); rotation must be right before its optimization window
     closes, while translation self-heals during the longer trans window.
+
+    `center_anchor > 0` is the soft version of the same idea: a penalty
+    `center_anchor * ||C(pose) - C(init)||^2` on the camera-center
+    displacement from the seed. With one new view the photometric alignment
+    is depth-ambiguous along the view axis — it reliably fixes rotation but
+    inflates translation (queue33 instrumented: t 5.4 -> 23.9 while
+    R 13.4 -> 0.03) — while PnP's camera center is usually good; the anchor
+    keeps the center near the seed without freezing it (rot_only's failure
+    mode: it cannot correct a genuinely bad seed center).
     """
     if use_fine is None:
         use_fine = scene_cfg.fine_sampling
@@ -89,7 +99,12 @@ def test_time_pose_optim(
                                           mode_train=False)
             rgb = rets.get("rgb_fine", rets["rgb"])
             target = img_flat[ray_idx]
-            return ((rgb[0] - target) ** 2).mean()
+            loss = ((rgb[0] - target) ** 2).mean()
+            if center_anchor > 0:
+                c_new = -pose[:3, :3].T @ pose[:3, 3]
+                c_init = -pose_w2c_init[:3, :3].T @ pose_w2c_init[:3, 3]
+                loss = loss + center_anchor * jnp.sum((c_new - c_init) ** 2)
+            return loss
 
         loss, g = jax.value_and_grad(loss_fn)(se3)
         if rot_only:

@@ -671,7 +671,8 @@ class JointTrainer:
                 lr=cfg.camera.activation_warmup_lr,
                 rand_rays=min(1024, self.H * self.W),
                 progress=progress, use_fine=use_fine,
-                rot_only=cfg.camera.activation_warmup_rot_only))
+                rot_only=cfg.camera.activation_warmup_rot_only,
+                center_anchor=cfg.camera.activation_warmup_center_anchor))
             if photo_ratio > 0 or holdout_gate > 0:
                 # guarded: only accept the warmup if it scores better on the
                 # same fixed rays (the early-BARF render can be too blurry to
@@ -708,7 +709,8 @@ class JointTrainer:
                         n_iters=cfg.camera.activation_pose_warmup,
                         lr=cfg.camera.activation_warmup_lr,
                         rand_rays=min(1024, self.H * self.W),
-                        progress=progress, use_fine=use_fine))
+                        progress=progress, use_fine=use_fine,
+                        center_anchor=cfg.camera.activation_warmup_center_anchor))
                     cands.append((photo_score(warm_prev, new_idx), warm_prev,
                                   "warm-prev"))
                 s_best, new_pose, tag = min(cands, key=lambda c: c[0])

@@ -99,6 +99,10 @@ def parse_args():
     p.add_argument("--warmup_rot_only", action="store_true",
                    help="warmup optimizes rotation only, keeping PnP's "
                         "camera center (CameraConfig.activation_warmup_rot_only)")
+    p.add_argument("--warmup_center_anchor", type=float, default=0.0,
+                   help="soft camera-center anchor toward the PnP seed during "
+                        "warmup (CameraConfig.activation_warmup_center_anchor; "
+                        "try 1.0 — fixes depth-ambiguous t inflation)")
     p.add_argument("--warmup_holdout", type=float, default=0.0,
                    help="geometric second opinion: re-arm warmup when PnP's "
                         "holdout cross-validation error exceeds this many px "
@@ -264,6 +268,11 @@ def main():
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(
                 cfg.camera, activation_warmup_rot_only=True))
+    if args.warmup_center_anchor:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(
+                cfg.camera,
+                activation_warmup_center_anchor=args.warmup_center_anchor))
     if args.warmup_rescue:
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(

@@ -81,6 +81,38 @@ class TestEvaluator:
         err_after = align.evaluate_camera_alignment(recovered[None], gt_pose[None])
         assert float(err_after["R"][0]) < float(err_before["R"][0])
 
+    def test_pose_optim_center_anchor_bounds_translation(self, trained_scene):
+        """A strong center anchor keeps the optimized camera center near the
+        seed (the activation-warmup t-inflation guard), while rotation still
+        improves; anchor=0 is the unconstrained baseline."""
+        params, data = trained_scene
+        gt_pose = jnp.asarray(data.poses_gt_w2c[0])
+        # camera-side rotation noise: orientation off, camera CENTER exact —
+        # the PnP-seed regime the anchor is designed for (PnP centers are
+        # good; photometric warmup inflates them along the view axis)
+        noise = lie.se3_to_SE3(jnp.asarray([[0.03, -0.02, 0.02, 0.0, 0.0, 0.0]]))[0]
+        noisy = pose.compose_pair(gt_pose, noise)
+
+        def center(p):
+            p = np.asarray(p)
+            return -p[:3, :3].T @ p[:3, 3]
+
+        anchored = evaluator.test_time_pose_optim(
+            params, CFG, noisy, jnp.asarray(data.Ks[0]),
+            jnp.asarray(data.images[0]), (data.near, data.far),
+            n_iters=100, lr=2e-3, rand_rays=512, center_anchor=10.0)
+        free = evaluator.test_time_pose_optim(
+            params, CFG, noisy, jnp.asarray(data.Ks[0]),
+            jnp.asarray(data.images[0]), (data.near, data.far),
+            n_iters=100, lr=2e-3, rand_rays=512, center_anchor=0.0)
+        d_anchored = np.linalg.norm(center(anchored) - center(noisy))
+        d_free = np.linalg.norm(center(free) - center(noisy))
+        assert d_anchored < d_free  # the anchor binds
+        assert d_anchored < 0.02   # ...and holds the center near the seed
+        err_before = align.evaluate_camera_alignment(noisy[None], gt_pose[None])
+        err_after = align.evaluate_camera_alignment(anchored[None], gt_pose[None])
+        assert float(err_after["R"][0]) < float(err_before["R"][0])
+
     def test_evaluate_full_outputs(self, trained_scene):
         params, data = trained_scene
         train_poses = jnp.asarray(data.poses_gt_w2c[data.i_train])
