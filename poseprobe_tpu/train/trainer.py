@@ -489,25 +489,31 @@ class JointTrainer:
     def refresh_maskcache(self) -> None:
         """(Re)build the free-space occupancy mask.
 
-        During the PLASTIC object phase (step <= N_iters) the mask is
-        all-True: occupancy skipping on in-flux geometry ratchets shut and
-        drains non-cube probes (queue35 bisect: the raw-threshold mask ended
-        literally empty on the sphere run — every sample dropped, no gradient
-        could ever recover it — while the identical run without the mask
-        reached psnr_obj 35). The reference never skips during plastic
-        training either: its MaskCache is frozen from a CONVERGED coarse
-        stage (`lib/voxurf_coarse.py:1271-1292`). The K-lane compaction
-        (the TPU perf lever) still applies with an all-True mask.
+        During the PLASTIC object phase (step <= N_iters) there is NO
+        compaction at all (``mask_arr = None``, the dense path): occupancy
+        skipping on in-flux geometry ratchets shut and drains non-cube
+        probes (queue35 bisect: the raw-threshold mask ended literally empty
+        on the sphere run — every sample dropped, no gradient could ever
+        recover it), and even an all-True mask with the K-lane truncation
+        collapses the CUBE probe (queue36 cube_fixed_sanity: K=0.5 cuts the
+        far half of in-bbox chords, which the cube's silhouette — unlike the
+        sphere's front-half-only visible surface — needs for its back-face
+        edges). Every healthy run (dbg_sphere/dbg_cube/sphbi_nomask) used
+        the dense path. The reference never skips during plastic training
+        either: its MaskCache is frozen from a CONVERGED coarse stage
+        (`lib/voxurf_coarse.py:1271-1292`).
 
-        After the phase, occupancy is rebuilt from the MAPPED grid
+        At the phase boundary, occupancy is rebuilt from the MAPPED grid
         thresholded at the current NeuS sharpness (``build_mask_grid_mapped``,
-        self-stabilizing under the drifting alpha/beta mapping) and serves
-        eval renders + scene-phase PnP surface queries."""
+        self-stabilizing under the drifting alpha/beta mapping) and the
+        K-lane compaction turns on for the remaining (geometry-frozen)
+        scene-phase object renders. The None->array flip costs one recompile,
+        which the phase-flag flip at N_iters triggers anyway."""
         from ..ops import compositing, maskcache
 
         om = self.cfg.object_model
         if self.state.step <= self.cfg.object_train.N_iters:
-            self.mask_arr = jnp.ones(self.state.obj_params["sdf_grid"].shape[1:], bool)
+            self.mask_arr = None
             return
         s_val = float(compositing.s_val_schedule(
             min(self.state.step, om.N_iters), om.s_ratio, om.s_start, om.step_start))

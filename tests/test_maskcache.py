@@ -179,9 +179,17 @@ def _tiny_trainer(**obj_model_kw):
 
 
 def test_trainer_maskcache_smoke():
+    """Plastic-phase gate: NO compaction during the object phase (dense path,
+    mask_arr None), real occupancy + K-lane compaction from the phase
+    boundary on (None -> array flip = one recompile, which the N_iters phase
+    flip triggers anyway). Trains through the boundary."""
     t = _tiny_trainer(use_maskcache=True, maskcache_thres=0.5, maskcache_keep=0.6)
-    assert t.mask_arr is not None
+    assert t.mask_arr is None  # plastic phase: dense, no skipping
     hist = t.fit(5, log_every=1)
+    assert all(np.isfinite(h["loss_total"]) for h in hist)
+    hist = t.fit(55, log_every=5)  # cross N_iters=50 (rebuild cadence 2)
+    assert t.mask_arr is not None  # post-phase: occupancy active
+    assert np.asarray(t.mask_arr).mean() > 0.02  # never-strangle floor
     assert all(np.isfinite(h["loss_total"]) for h in hist)
 
 
