@@ -53,6 +53,7 @@ def projection_error_loss(
     far: float = 4.0,
     HW=None,
     mask_grid=None,
+    mask_k=None,
 ):
     """Returns (projection_dis_error, near_surface_loss).
 
@@ -74,7 +75,7 @@ def projection_error_loss(
     if use_deform:
         pts, valid, _ = object_sdf.query_surface_points_render(
             obj_params, obj_cfg, flat_o, flat_d, global_step, use_deform=True,
-            near=near, far=far, mask_grid=mask_grid)
+            near=near, far=far, mask_grid=mask_grid, mask_k=mask_k)
     else:
         pts, valid, _ = object_sdf.query_surface_points(
             obj_params, obj_cfg, flat_o, flat_d, use_deform=False, near=near, far=far)

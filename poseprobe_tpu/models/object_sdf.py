@@ -285,6 +285,7 @@ def render(
     far: float = 4.0,
     bg: float = 0.0,
     mask_grid: jnp.ndarray | None = None,
+    mask_k: int | None = None,
 ) -> dict[str, Any]:
     """Train/eval volume render. Mirrors `Voxurf.forward` (`voxurf_coarse.py:922-1092`).
 
@@ -305,9 +306,12 @@ def render(
     mask = samp.mask_inbbox  # [N, S]
     step = samp.step
     if mask_grid is not None:
-        # free-space skipping: keep the first K in-mask samples per ray
+        # free-space skipping: keep the first K in-mask samples per ray.
+        # mask_k overrides the config budget (the trainer passes the tight
+        # per-ray chord bound during the plastic phase, maskcache.max_inbbox_lanes)
         occ = maskcache.mask_lookup(mask_grid, pts, lo, hi)
-        comp = maskcache.compact_ray_samples(pts, step, mask & occ, cfg.maskcache_K)
+        comp = maskcache.compact_ray_samples(pts, step, mask & occ,
+                                             mask_k or cfg.maskcache_K)
         pts, step, mask = comp.pts, comp.step, comp.mask
 
     sdf_grid = processed_sdf_grid(params, cfg)
@@ -480,6 +484,7 @@ def query_surface_points_render(
     near: float = 0.3,
     far: float = 4.0,
     mask_grid: jnp.ndarray | None = None,
+    mask_k: int | None = None,
 ):
     """Differentiable surface localisation via volume-rendered expected depth.
 
@@ -499,7 +504,8 @@ def query_surface_points_render(
     pts, step, mask = samp.pts, samp.step, samp.mask_inbbox
     if mask_grid is not None:
         occ = maskcache.mask_lookup(mask_grid, pts, lo, hi)
-        comp = maskcache.compact_ray_samples(pts, step, mask & occ, cfg.maskcache_K)
+        comp = maskcache.compact_ray_samples(pts, step, mask & occ,
+                                             mask_k or cfg.maskcache_K)
         pts, step, mask = comp.pts, comp.step, comp.mask
     sdf_grid = processed_sdf_grid(params, cfg)
 

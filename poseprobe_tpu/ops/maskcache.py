@@ -104,6 +104,43 @@ def build_mask_grid_mapped(mapped_grid: jnp.ndarray, s_val: float,
     return mask
 
 
+def max_inbbox_lanes(poses_w2c, Ks, H: int, W: int, xyz_min, xyz_max,
+                     steplen: float, margin: int = 6) -> int:
+    """Tight per-ray sample budget: max in-bbox sample count over every pixel
+    ray of the given views, plus a pose-drift margin (host numpy, one-time).
+
+    With an all-True occupancy mask and ``K >= max_inbbox_lanes``, the static-K
+    compaction keeps EVERY in-bbox sample of every ray — content-identical to
+    the dense path (parity-tested) — while cutting the lanes the worst-case
+    bbox-diagonal budget wastes (measured 38% on the synthetic protocol:
+    47 actual vs 76 budget). This is the safe plastic-phase perf lever: the
+    geometry-dependent occupancy masks ratchet/truncate in-flux geometry
+    (logs/run_journal/README_r3.md queues 35-36), a chord bound cannot.
+    """
+    import numpy as np
+
+    lo = np.asarray(xyz_min, np.float64)
+    hi = np.asarray(xyz_max, np.float64)
+    poses_w2c = np.asarray(poses_w2c, np.float64)
+    Ks = np.asarray(Ks, np.float64)
+    u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    pix = np.stack([u.ravel(), v.ravel(), np.ones(H * W)], -1)
+    max_n = 0
+    for w2c, K in zip(poses_w2c, Ks):
+        R, t = w2c[:3, :3], w2c[:3, 3]
+        o = -R.T @ t
+        d = pix @ np.linalg.inv(K).T @ R
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t0 = (lo - o) / d
+            t1 = (hi - o) / d
+        tmin = np.nanmax(np.minimum(t0, t1), axis=1)
+        tmax = np.nanmin(np.maximum(t0, t1), axis=1)
+        chord = np.clip(tmax - np.maximum(tmin, 0.0), 0.0, None)
+        n_in = np.ceil(chord * np.linalg.norm(d, axis=1) / steplen)
+        max_n = max(max_n, int(np.nanmax(n_in)))
+    return max_n + margin
+
+
 def mask_lookup(mask: jnp.ndarray, xyz: jnp.ndarray, xyz_min, xyz_max) -> jnp.ndarray:
     """Nearest-voxel occupancy at world points (CUDA `maskcache_lookup` parity).
 

@@ -140,9 +140,22 @@ class JointTrainer:
             step=0,
             n_active=2 if (cfg.camera.incremental and self.n_train > 2) else self.n_train,
         )
-        # free-space-skipping occupancy cache (rebuilt periodically in fit())
+        # free-space-skipping occupancy cache (rebuilt periodically in fit()).
+        # _k_phase: tight per-ray chord bound for the plastic-phase compaction
+        # (content-identical to dense; see refresh_maskcache) — max over GT and
+        # PnP-seeded poses so pose drift stays inside the +margin.
         self.mask_arr = None
+        self._mask_k = None
+        self._k_phase = None
         if cfg.object_model.use_maskcache:
+            from ..ops import maskcache as maskcache_mod
+            om = cfg.object_model
+            all_poses = np.concatenate([np.asarray(self.poses_gt),
+                                        np.asarray(poses_pnp)], axis=0)
+            all_Ks = np.concatenate([np.asarray(self.Ks)] * 2, axis=0)
+            self._k_phase = min(om.n_samples, maskcache_mod.max_inbbox_lanes(
+                all_poses, all_Ks, self.H, self.W, om.xyz_min_np, om.xyz_max_np,
+                om.stepsize * om.voxel_size))
             self.refresh_maskcache()
         self.fine_start = (int(sc.max_iter * cfg.scene_model.ratio_start_fine_sampling_at_x)
                            if cfg.scene_model.ratio_start_fine_sampling_at_x is not None else 0)
@@ -182,25 +195,27 @@ class JointTrainer:
     # ------------------------------------------------------------------- step
 
     @functools.partial(jax.jit, static_argnames=("self", "n_active", "object_on", "pose_on",
-                                                 "fine_on", "depth_cons_on", "proj_use_deform", "precrop_on"),
+                                                 "fine_on", "depth_cons_on", "proj_use_deform",
+                                                 "precrop_on", "mask_k"),
                        donate_argnames=("state_tuple",))
     def _train_step(self, state_tuple, rng, step, mask_arr, n_active: int,
                     object_on: bool, pose_on: bool, fine_on: bool,
                     depth_cons_on: bool, proj_use_deform: bool,
-                    precrop_on: bool = False):
+                    precrop_on: bool = False, mask_k: int | None = None):
         return self._step_impl(state_tuple, rng, step, mask_arr, n_active=n_active,
                                object_on=object_on, pose_on=pose_on, fine_on=fine_on,
                                depth_cons_on=depth_cons_on,
-                               proj_use_deform=proj_use_deform, precrop_on=precrop_on)
+                               proj_use_deform=proj_use_deform, precrop_on=precrop_on,
+                               mask_k=mask_k)
 
     @functools.partial(jax.jit, static_argnames=("self", "k_steps", "n_active", "object_on",
                                                  "pose_on", "fine_on", "depth_cons_on",
-                                                 "proj_use_deform", "precrop_on"),
+                                                 "proj_use_deform", "precrop_on", "mask_k"),
                        donate_argnames=("state_tuple",))
     def _train_scan(self, state_tuple, loop_key, step0, mask_arr, k_steps: int,
                     n_active: int, object_on: bool, pose_on: bool, fine_on: bool,
                     depth_cons_on: bool, proj_use_deform: bool,
-                    precrop_on: bool = False):
+                    precrop_on: bool = False, mask_k: int | None = None):
         """K train steps in ONE device program (`lax.scan` superstep).
 
         Each per-call dispatch through the host (and, in this environment, the
@@ -218,7 +233,7 @@ class JointTrainer:
                 st, sub, step0 + i, mask_arr, n_active=n_active,
                 object_on=object_on, pose_on=pose_on, fine_on=fine_on,
                 depth_cons_on=depth_cons_on, proj_use_deform=proj_use_deform,
-                precrop_on=precrop_on)
+                precrop_on=precrop_on, mask_k=mask_k)
             return (st, key), metrics
 
         (state_tuple, loop_key), metrics = jax.lax.scan(
@@ -228,7 +243,7 @@ class JointTrainer:
     def _step_impl(self, state_tuple, rng, step, mask_arr, n_active: int,
                    object_on: bool, pose_on: bool, fine_on: bool,
                    depth_cons_on: bool, proj_use_deform: bool,
-                   precrop_on: bool = False):
+                   precrop_on: bool = False, mask_k: int | None = None):
         (obj_params, scene_params, pose_params,
          opt_obj, opt_scene, opt_pose, poses_pnp) = state_tuple
         cfg = self.cfg
@@ -266,7 +281,7 @@ class JointTrainer:
                     global_step=step_f, rng=keys[1], use_deform=True, is_train=True,
                     near=self.data.near, far=self.data.far,
                     bg=1.0 if self.data.white_bkgd else 0.0,
-                    mask_grid=mask_arr)
+                    mask_grid=mask_arr, mask_k=mask_k)
                 k0_tv = object_losses_mod.k0_total_variation(obj_p)
                 scalars, weights, obj_loss, psnr = object_losses_mod.object_losses(
                     render_out, batch.target, batch.mask, step_f, oc.N_iters,
@@ -288,7 +303,7 @@ class JointTrainer:
                         global_step=step_f, inverse_y=self.data.inverse_y,
                         use_deform=proj_use_deform, pixel_thre=200.0,
                         near=self.data.near, far=self.data.far,
-                        mask_grid=mask_arr)
+                        mask_grid=mask_arr, mask_k=mask_k)
                     obj_loss = obj_loss + ot.projection_dis_error * proj_err \
                         + ot.weight_near_surface * near_surf
                     metrics["proj_err"] = proj_err
@@ -489,31 +504,37 @@ class JointTrainer:
     def refresh_maskcache(self) -> None:
         """(Re)build the free-space occupancy mask.
 
-        During the PLASTIC object phase (step <= N_iters) there is NO
-        compaction at all (``mask_arr = None``, the dense path): occupancy
-        skipping on in-flux geometry ratchets shut and drains non-cube
-        probes (queue35 bisect: the raw-threshold mask ended literally empty
-        on the sphere run — every sample dropped, no gradient could ever
-        recover it), and even an all-True mask with the K-lane truncation
-        collapses the CUBE probe (queue36 cube_fixed_sanity: K=0.5 cuts the
-        far half of in-bbox chords, which the cube's silhouette — unlike the
-        sphere's front-half-only visible surface — needs for its back-face
-        edges). Every healthy run (dbg_sphere/dbg_cube/sphbi_nomask) used
-        the dense path. The reference never skips during plastic training
+        During the PLASTIC object phase (step <= N_iters), geometry-dependent
+        occupancy is NEVER used: the raw-threshold mask ratchets shut and
+        drains non-cube probes (queue35 bisect: the sphere run's final mask
+        was literally empty — every sample dropped, no gradient could ever
+        recover it), and even an all-True mask with the default K=0.5 lane
+        truncation collapses the CUBE probe (queue36 cube_fixed_sanity: it
+        cuts the far half of in-bbox chords, which the cube's silhouette —
+        unlike the sphere's front-half-only visible surface — needs for its
+        back-face edges). The reference never skips during plastic training
         either: its MaskCache is frozen from a CONVERGED coarse stage
         (`lib/voxurf_coarse.py:1271-1292`).
+
+        Instead, the plastic phase uses an all-True mask with K = the tight
+        per-ray chord bound over all training views (+drift margin,
+        ``maskcache.max_inbbox_lanes``): every in-bbox sample of every ray
+        survives compaction — CONTENT-IDENTICAL to the dense path
+        (parity-tested) — while the lanes the worst-case bbox-diagonal
+        budget wastes are cut (38% on the synthetic protocol).
 
         At the phase boundary, occupancy is rebuilt from the MAPPED grid
         thresholded at the current NeuS sharpness (``build_mask_grid_mapped``,
         self-stabilizing under the drifting alpha/beta mapping) and the
-        K-lane compaction turns on for the remaining (geometry-frozen)
-        scene-phase object renders. The None->array flip costs one recompile,
-        which the phase-flag flip at N_iters triggers anyway."""
+        configured K takes over for the geometry-frozen scene-phase renders.
+        The mask_k flip is a static jit arg, so each K gets its own program
+        (the phase-flag flip at N_iters recompiles anyway)."""
         from ..ops import compositing, maskcache
 
         om = self.cfg.object_model
         if self.state.step <= self.cfg.object_train.N_iters:
-            self.mask_arr = None
+            self.mask_arr = jnp.ones(self.state.obj_params["sdf_grid"].shape[1:], bool)
+            self._mask_k = self._k_phase
             return
         s_val = float(compositing.s_val_schedule(
             min(self.state.step, om.N_iters), om.s_ratio, om.s_start, om.step_start))
@@ -521,6 +542,7 @@ class JointTrainer:
         self.mask_arr = maskcache.build_mask_grid_mapped(
             mapped, s_val, sigma=om.maskcache_sigma, dilate=om.maskcache_dilate,
             prev=self.mask_arr)
+        self._mask_k = None  # config budget (maskcache_keep) post-phase
 
     def maybe_pg_scale(self, step: int) -> None:
         """Progressive-scaling host event: double the voxel count at each
@@ -763,7 +785,8 @@ class JointTrainer:
         state_tuple = (state.obj_params, state.scene_params, state.pose_params,
                        state.opt_obj, state.opt_scene, state.opt_pose, state.poses_pnp)
         new_tuple, metrics = self._train_step(
-            state_tuple, rng, jnp.asarray(state.step, jnp.int32), self.mask_arr, **flags)
+            state_tuple, rng, jnp.asarray(state.step, jnp.int32), self.mask_arr,
+            mask_k=self._mask_k, **flags)
         # state_tuple buffers are DONATED: rebind every leaf (incl. the
         # pass-through poses_pnp) from the returned tuple
         (state.obj_params, state.scene_params, state.pose_params,
@@ -786,7 +809,7 @@ class JointTrainer:
                        state.opt_obj, state.opt_scene, state.opt_pose, state.poses_pnp)
         new_tuple, self._loop_key, metrics = self._train_scan(
             state_tuple, self._loop_key, jnp.asarray(state.step, jnp.int32),
-            self.mask_arr, k, **flags)
+            self.mask_arr, k, mask_k=self._mask_k, **flags)
         # donated input: rebind all leaves from the return (see step_once)
         (state.obj_params, state.scene_params, state.pose_params,
          state.opt_obj, state.opt_scene, state.opt_pose, state.poses_pnp) = new_tuple

@@ -179,18 +179,45 @@ def _tiny_trainer(**obj_model_kw):
 
 
 def test_trainer_maskcache_smoke():
-    """Plastic-phase gate: NO compaction during the object phase (dense path,
-    mask_arr None), real occupancy + K-lane compaction from the phase
-    boundary on (None -> array flip = one recompile, which the N_iters phase
-    flip triggers anyway). Trains through the boundary."""
+    """Plastic-phase gate: during the object phase the mask is all-True with
+    K = the per-ray chord bound (content-identical to dense); the mapped
+    occupancy + configured K take over from the phase boundary on. Trains
+    through the boundary."""
     t = _tiny_trainer(use_maskcache=True, maskcache_thres=0.5, maskcache_keep=0.6)
-    assert t.mask_arr is None  # plastic phase: dense, no skipping
+    assert np.asarray(t.mask_arr).all()          # plastic phase: no occupancy
+    assert t._mask_k == t._k_phase is not None   # ...but tight chord-bound K
     hist = t.fit(5, log_every=1)
     assert all(np.isfinite(h["loss_total"]) for h in hist)
     hist = t.fit(55, log_every=5)  # cross N_iters=50 (rebuild cadence 2)
-    assert t.mask_arr is not None  # post-phase: occupancy active
+    assert t._mask_k is None                     # post-phase: configured K
     assert np.asarray(t.mask_arr).mean() > 0.02  # never-strangle floor
     assert all(np.isfinite(h["loss_total"]) for h in hist)
+
+
+def test_chord_bound_compaction_exact_dense_parity():
+    """All-True mask + K = max_inbbox_lanes keeps EVERY in-bbox sample of
+    every ray — render output must be bit-identical to the dense path (the
+    plastic-phase perf lever's safety contract)."""
+    cfg = _cfg(use_maskcache=True)
+    params = object_sdf.init_object_params(jax.random.PRNGKey(0), cfg)
+    rays_o, rays_d, viewdirs = _rays()
+    # camera at z=-2.5 looking +z through the bbox; chord bound from a tiny
+    # synthetic view set that covers these rays
+    K_pose = np.array([[20.0, 0, 10.0], [0, 20.0, 10.0], [0, 0, 1.0]])
+    w2c = np.concatenate([np.eye(3), [[0.0], [0.0], [2.5]]], 1)[None]
+    k_bound = maskcache.max_inbbox_lanes(
+        w2c, K_pose[None], 20, 20, cfg.xyz_min_np, cfg.xyz_max_np,
+        cfg.stepsize * cfg.voxel_size)
+    assert k_bound < cfg.n_samples  # the bound actually cuts lanes
+    mask = jnp.ones(cfg.world_size, bool)
+    dense = object_sdf.render(params, cfg, rays_o, rays_d, viewdirs, 50.0,
+                              rng=None, near=0.5, far=5.0)
+    comp = object_sdf.render(params, cfg, rays_o, rays_d, viewdirs, 50.0,
+                             rng=None, near=0.5, far=5.0,
+                             mask_grid=mask, mask_k=int(k_bound))
+    for key in ("rgb_marched", "cum_weights", "depth", "alphainv_cum"):
+        np.testing.assert_array_equal(np.asarray(dense[key]), np.asarray(comp[key]),
+                                      err_msg=key)
 
 
 def test_trainer_pg_scale_two_events():
