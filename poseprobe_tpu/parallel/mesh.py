@@ -9,8 +9,9 @@ inserts the psum gradient all-reduce over ICI automatically — no NCCL-style
 hand-written collectives.
 
 Grids are small enough (96^3 x 13ch ~ 46 MB fp32) to replicate on every v5e
-chip; grid (tensor-parallel) sharding only pays above ~160^3 and is left as a
-mesh axis extension point.
+chip; grid (tensor-parallel) sharding pays above ~160^3 and lives in
+`parallel/grid_tp.py` (Z-sharded grids + halo exchange on a 2-D
+('data', 'grid') mesh).
 """
 from __future__ import annotations
 
