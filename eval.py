@@ -103,8 +103,23 @@ def main():
         verts, tris = mesh_mod.extract_mesh_world(
             vol, cfg.object_model.xyz_min_np, cfg.object_model.xyz_max_np,
             scale_mat=data.scale_mats)
-        mesh_mod.save_ply(os.path.join(out_dir, "mesh.ply"), verts, tris)
-        if args.gt_stl and os.path.exists(args.gt_stl):
+        if len(verts) == 0:
+            # degenerate probe geometry: the deformed SDF has no zero
+            # crossing inside the bbox (observed: sphere-probe "filled box"
+            # basin — the probe anchors poses fine but carries no surface).
+            # Emit a scored-as-failure JSON instead of crashing the eval.
+            diag = {"error": "empty mesh",
+                    "vol_min": float(vol.min()), "vol_max": float(vol.max()),
+                    "vol_frac_inside": float((vol > 0).mean())}
+            print("[eval] mesh extraction empty:", diag)
+            with open(os.path.join(out_dir, "chamfer.json"), "w") as f:
+                json.dump(diag, f, indent=2)
+            verts = tris = None
+        else:
+            mesh_mod.save_ply(os.path.join(out_dir, "mesh.ply"), verts, tris)
+        if verts is None:
+            pass
+        elif args.gt_stl and os.path.exists(args.gt_stl):
             gt_pts = dtu_protocol.load_stl_points(args.gt_stl)
             chamfer = dtu_protocol.evaluate_mesh_dtu(verts, tris, gt_pts)
             print("[eval] chamfer:", chamfer)
