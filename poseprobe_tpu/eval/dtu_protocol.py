@@ -145,6 +145,11 @@ def evaluate_mesh_dtu(pred_verts: np.ndarray, pred_tris: np.ndarray,
     (observation-mask culling, `visual_hull_cull` / `visible_in_any_view`).
     """
     pred_pts = mesh_mod.sample_mesh_surface(pred_verts, pred_tris, n_samples)
+    if len(pred_pts) == 0:
+        # degenerate prediction: every GT point scores the max distance,
+        # matching the DTU convention of clamping unmatched distances
+        return {"d2s": float(max_dist), "s2d": float(max_dist),
+                "overall": float(max_dist), "empty_mesh": True}
     if bbox is not None:
         lo, hi = bbox[0], bbox[1]
         keep_p = np.all((pred_pts >= lo) & (pred_pts <= hi), axis=1)

@@ -135,7 +135,13 @@ def chamfer_distance(pts_a: np.ndarray, pts_b: np.ndarray,
 
 
 def sample_mesh_surface(verts: np.ndarray, tris: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
-    """Uniform area-weighted surface sampling (for chamfer)."""
+    """Uniform area-weighted surface sampling (for chamfer).
+
+    An empty mesh (degenerate SDF with no zero crossing — see eval.py's
+    empty-mesh diagnostics) yields an empty [0, 3] sample set rather than an
+    index error, so callers can score it as a failure."""
+    if len(verts) == 0 or len(tris) == 0:
+        return np.zeros((0, 3), dtype=np.float64)
     rng = np.random.default_rng(seed)
     v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
     area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)

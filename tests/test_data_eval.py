@@ -73,6 +73,20 @@ class TestMesh:
         # voxel size 1.2/47 = 0.0255; trilinear surface sits well inside one
         assert res["overall"] < 0.02, res
 
+    def test_empty_mesh_scored_as_failure(self):
+        """A degenerate SDF with no zero crossing (sphere filled-box basin,
+        logs/run_journal/README_r3.md queue38) must score max_dist, not
+        crash: sample_mesh_surface returns [0,3], evaluate_mesh_dtu flags
+        empty_mesh."""
+        from poseprobe_tpu.eval import dtu_protocol
+        vol = np.full((8, 8, 8), 2.0)  # all "inside", no crossing
+        verts, tris = mesh.extract_mesh_world(vol, [-1] * 3, [1] * 3)
+        assert len(verts) == 0
+        assert mesh.sample_mesh_surface(verts, tris, 100).shape == (0, 3)
+        gt = np.random.RandomState(0).randn(50, 3)
+        res = dtu_protocol.evaluate_mesh_dtu(verts, tris, gt, max_dist=0.5)
+        assert res["empty_mesh"] and res["overall"] == 0.5
+
     def test_observation_mask_culling(self):
         """visual_hull_cull keeps probe-surface points and rejects
         unobserved-region garbage; visible_in_any_view keeps the observed
