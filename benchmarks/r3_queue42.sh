@@ -1,14 +1,17 @@
 #!/bin/bash
-# Round-3 TPU job queue #42 — always-warmup + center-anchor on the 6-view
-# variance seeds.
+# Round-3 TPU job queue #42 — always-warmup (no reproj gate) + center anchor.
 #
-# Queue37 showed the anchor fixes warmup t-injection (worst-seed PSNR
-# 27.93 -> 30.25) but the px/photo gate now passes rotation-slipped warmups
-# (R 2.0/2.4 -> 3.2/3.6). Hypothesis: with the anchor making warmup
-# translation-safe, the px gate is pure downside — it skipped the view-5
-# warmup seed0 needed and let seed1's bad view-2 one through. Run gate 0
-# (warmup ALWAYS runs, accept-if-better guard still on via photo_ratio)
-# on seeds 0/1/2. Healthy expectation: R back under ~2 with PSNR >= 30.2.
+# Queue37 found the anchor raises the worst-seed PSNR floor (27.9 -> 30.25)
+# but rotation got worse on both seeds (2.04->3.16, 2.39->3.63 deg): with the
+# photo gate at ratio 4, a rotation-slipped warmup passes the photometric
+# check more easily once its translation no longer inflates the MSE, so
+# bad-rotation warmups are accepted that the un-anchored runs rejected.
+# Hypothesis: if the anchor makes warmup translation-safe, the reproj gate is
+# pure downside (it skipped seed0's needed view-5 warmup and accepted seed1's
+# bad view-2 one). Probe: drop --warmup_gate entirely (warmup always runs;
+# the photo-score guarded ACCEPT s_warm <= s_pnp still protects against
+# blurry-render degradation) and keep the anchor at 1.0, on the two variance
+# seeds. Compare against queue33 (no anchor) and queue37 (gate 8 + anchor).
 set -u
 cd /root/repo
 mkdir -p logs/r3_queue
@@ -38,21 +41,17 @@ run_job() {
 
 BASE6="--synthetic --n_views 6 --steps 20000 --object_iters 2500 \
   --pose_window 0.75 --pose_trans_window 1.0 \
-  --pose_warmup 100 --warmup_gate 0 --warmup_photo_ratio 4 \
+  --pose_warmup 100 --warmup_photo_ratio 4 \
   --warmup_center_anchor 1.0 \
   --loss_weight depth_cons=-2 --dc_start 0.25 \
   --matmul_dtype bfloat16 --maskcache --render_test --i_validate 2000"
 
 wait_tunnel || exit 1
-run_job 6view_always_seed0 timeout 7200 python run.py $BASE6 --seed 0 \
-  --expname r3_6view_always_seed0
+run_job 6view_nogate_seed1 timeout 7200 python run.py $BASE6 --seed 1 \
+  --expname r3_6view_nogate_seed1
 
 wait_tunnel || exit 1
-run_job 6view_always_seed1 timeout 7200 python run.py $BASE6 --seed 1 \
-  --expname r3_6view_always_seed1
-
-wait_tunnel || exit 1
-run_job 6view_always_seed2 timeout 7200 python run.py $BASE6 --seed 2 \
-  --expname r3_6view_always_seed2
+run_job 6view_nogate_seed2 timeout 7200 python run.py $BASE6 --seed 2 \
+  --expname r3_6view_nogate_seed2
 
 echo "[queue42] all jobs done $(date +%H:%M:%S)"

@@ -166,6 +166,12 @@ class ObjectTrainConfig:
     # num_voxels / 2^len(pg_scale) and doubles the voxel count at each step
     # listed here (DVGO semantics; one recompile per event).
     pg_scale: tuple = ()
+    # boundary-shell SDF positivity prior: penalizes raw SDF < shell_margin
+    # on the grid's outer voxel shell. Blocks the non-cube-probe "filled box"
+    # basin (probe inflates to its bbox, mesh extraction empty) while staying
+    # inactive for healthy geometry; see losses/object.shell_positivity_loss.
+    weight_shell: float = 0.0
+    shell_margin: float = 0.0
     # free-space-skip mask refresh cadence (steps); the occupancy cache is
     # rebuilt from the current SDF grid (adaptive, vs the reference's frozen
     # coarse-stage MaskCache)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import grid as grid_ops
@@ -85,6 +86,35 @@ def object_losses(
         total = total + v * weights[k]
     psnr = mse2psnr(scalars["img_render"])
     return scalars, weights, total, psnr
+
+
+def shell_positivity_loss(sdf_grid: jnp.ndarray, margin: float = 0.0) -> jnp.ndarray:
+    """Mean hinge penalty for non-positive raw SDF on the grid's outer shell.
+
+    The probe must stay strictly inside its own bounding box: the cube init
+    is positive (outside) on all six boundary faces, and any geometry with a
+    surface inside the bbox keeps them positive, so this prior is inactive
+    for healthy runs. It exists to block the "filled box" basin observed
+    with non-cube probes (sphere study, logs/run_journal/README_r3.md
+    queue38): the raw grid drifts negative all the way to the bbox faces
+    (frac_neg 0.9998+), the deformed+mapped SDF loses its zero crossing,
+    and mesh extraction comes back empty even though pose anchoring still
+    works. Penalizing relu(margin - sdf) on the 1-voxel shell guarantees a
+    sign change exists inside the bbox whenever any interior voxel is
+    negative. No reference analog (the reference only ever trains cube
+    probes; its MaskCache assumes a converged surface, `voxurf_coarse.py:
+    1271-1292`).
+
+    sdf_grid: [1, X, Y, Z] raw (pre-mapping) SDF grid; margin in the grid's
+    native SDF units (world distance at init).
+    """
+    g = sdf_grid[0]
+    faces = jnp.concatenate([
+        g[0].ravel(), g[-1].ravel(),
+        g[:, 0].ravel(), g[:, -1].ravel(),
+        g[:, :, 0].ravel(), g[:, :, -1].ravel(),
+    ])
+    return jnp.mean(jax.nn.relu(margin - faces))
 
 
 def object_tv_losses(params: dict, cfg, nonempty_mask=None,

@@ -290,6 +290,11 @@ class JointTrainer:
                     deform_prior_init=ot.weight_deform_prior_init,
                     deform_prior_final=ot.weight_deform_prior_final)
                 obj_loss = obj_loss + self._tv_density_loss(obj_p, step)
+                if ot.weight_shell > 0:
+                    shell = object_losses_mod.shell_positivity_loss(
+                        obj_p["sdf_grid"], ot.shell_margin)
+                    obj_loss = obj_loss + ot.weight_shell * shell
+                    metrics["shell_loss"] = shell
                 metrics["psnr_obj"] = psnr
                 metrics["s_val"] = render_out["s_val"]
 

@@ -151,6 +151,13 @@ def parse_args():
     p.add_argument("--incremental_step", type=int, default=0,
                    help="override CameraConfig.incremental_step (steps "
                         "between view activations)")
+    p.add_argument("--shell_weight", type=float, default=0.0,
+                   help="boundary-shell SDF positivity prior weight "
+                        "(ObjectTrainConfig.weight_shell; blocks the "
+                        "non-cube-probe filled-box basin)")
+    p.add_argument("--shell_margin", type=float, default=0.0,
+                   help="required raw-SDF margin at the bbox shell "
+                        "(ObjectTrainConfig.shell_margin, world units)")
     return p.parse_args()
 
 
@@ -207,6 +214,10 @@ def main():
     if args.seed is not None:
         from poseprobe_tpu.config.config import replace
         cfg = replace(cfg, seed=args.seed)
+    if args.shell_weight:
+        cfg = dataclasses.replace(cfg, object_train=dataclasses.replace(
+            cfg.object_train, weight_shell=args.shell_weight,
+            shell_margin=args.shell_margin))
     if args.object_iters:
         cfg = dataclasses.replace(
             cfg,

@@ -112,6 +112,24 @@ class TestObjectModel:
         assert vol.shape == (24, 24, 24)
         assert vol[12, 12, 12] > 0  # -sdf > 0 inside
 
+    def test_shell_positivity_prior(self):
+        from poseprobe_tpu.losses.object import shell_positivity_loss
+
+        # inactive on healthy geometry: cube init is positive at the shell
+        healthy = float(shell_positivity_loss(self.params["sdf_grid"]))
+        assert healthy == 0.0
+        # active in the filled-box basin (raw grid negative to the bbox faces)
+        filled = -jnp.abs(self.params["sdf_grid"])
+        loss, grad = jax.value_and_grad(
+            lambda g: shell_positivity_loss(g, margin=0.1))(filled)
+        assert float(loss) > 0.0
+        g = np.asarray(grad)[0]
+        # gradient pushes the shell voxels positive (descent = -grad > 0)...
+        assert g[0].max() < 0 and g[-1].max() < 0
+        assert g[:, 0].max() < 0 and g[:, :, -1].max() < 0
+        # ...and leaves the interior untouched
+        assert np.all(g[1:-1, 1:-1, 1:-1] == 0.0)
+
 
 class TestDeform:
     def test_zero_init_identity(self):
