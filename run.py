@@ -371,8 +371,22 @@ def main():
     max_iter = args.steps or cfg.scene_train.max_iter
     t0 = time.time()
 
+    basin_checked = []
+
     def on_log(h):
         h["wall"] = round(time.time() - t0, 2)  # for time-to-PSNR analysis
+        if not basin_checked and 0 < cfg.object_train.N_iters <= h["step"]:
+            # one-shot filled-box tripwire at the end of the object phase:
+            # a raw grid negative out to the bbox faces has no extractable
+            # surface (sphere study, logs/run_journal/README_r3.md queue38)
+            basin_checked.append(True)
+            raw = np.asarray(trainer.state.obj_params["sdf_grid"])
+            fn = float((raw < 0).mean())
+            if fn > 0.98:
+                print(f"[run] WARNING: probe raw SDF is {fn:.2%} negative at "
+                      "the end of the object phase (filled-box basin): mesh "
+                      "extraction will be empty even if pose anchoring works. "
+                      "Consider --shell_weight 1.0 --shell_margin 0.05.")
         if args.grid_stats and h["step"] <= cfg.object_train.N_iters + 200:
             raw = np.asarray(trainer.state.obj_params["sdf_grid"])
             h["raw_min"] = round(float(raw.min()), 3)
