@@ -303,6 +303,16 @@ class TestVGGFeaturesPath:
             h = torch.relu(convs[2](h))
             want = h.permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(feats[..., :64], want, atol=2e-4)
+        # second block parity: maxpool -> convs 5,7 -> bilinear upsample back
+        # to input res (jax.image.resize "bilinear" == torch align_corners=False)
+        with torch.no_grad():
+            h = torch.nn.functional.max_pool2d(h, 2, 2)
+            h = torch.relu(convs[5](h))
+            h = torch.relu(convs[7](h))
+            h = torch.nn.functional.interpolate(
+                h, size=(16, 16), mode="bilinear", align_corners=False)
+            want2 = h.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(feats[..., 64:], want2, atol=2e-3)
 
 
 class TestConverterCLI:
