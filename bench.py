@@ -147,6 +147,7 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
     superstep = int(os.environ.get("POSEPROBE_SUPERSTEP", "100"))
 
     force = os.environ.get("POSEPROBE_BENCH_FORCE_TPU", "") == "1"
+    fallback_note = None
     if os.environ.get("POSEPROBE_BENCH_CPU", "") == "1":
         # explicit CPU validation mode (e.g. while another process owns the
         # TPU tunnel — one process at a time, CLAUDE.md)
@@ -162,6 +163,9 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
 
         jax.config.update("jax_platforms", "cpu")
         small = True
+        fallback_note = ("TPU tunnel unreachable after 4 probes; CPU fallback "
+                         "at reduced workload. NOT the TPU throughput — see "
+                         "the latest TPU entry in PERFORMANCE.md")
     import jax
 
     trainer = build_trainer(small=small, matmul_dtype=matmul_dtype)
@@ -212,6 +216,9 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
         "loss": loss_mid if np.isfinite(loss_mid) else loss_early,
         "device": str(jax.devices()[0]),
     }
+    if fallback_note is not None:
+        result["tpu_unreachable"] = True
+        result["note"] = fallback_note
     print(json.dumps(result))
     return result
 
