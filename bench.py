@@ -25,11 +25,36 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 4096.0  # see module docstring
+
+# Last committed TPU v5e measurement (PERFORMANCE.md `bench_chord`,
+# 2026-08-20, maskcache-correct HEAD). Used ONLY as a clearly-labeled
+# fallback when the TPU tunnel is down or the wall-clock deadline cuts a
+# phase: any value derived from these carries "measured": false or a
+# per-phase "phases_measured" list so a stale number can never pass as
+# fresh (round-3 verdict #1).
+COMMITTED_TPU = {
+    "value": 42327.0,
+    "early_ms": 49.5,
+    "coarse_ms": 7.4,
+    "mid_ms": 27.1,
+    "source": "PERFORMANCE.md bench_chord 2026-08-20 (TPU v5e)",
+}
+
+
+def _emit(result: dict) -> None:
+    """Print one JSON line and flush immediately.
+
+    The driver captures the tail of stdout; emitting after every phase means
+    a mid-run kill (rc=124) still leaves a parseable, honestly-labeled line
+    (round-3 verdict: BENCH_r03.json had rc=124 with an EMPTY tail)."""
+    print(json.dumps(result), flush=True)
 
 
 def build_trainer(small: bool = False, matmul_dtype: str = "bfloat16"):
@@ -69,16 +94,16 @@ def build_trainer(small: bool = False, matmul_dtype: str = "bfloat16"):
     return JointTrainer(cfg, data)
 
 
-def _tpu_reachable(timeout_s: int = 150, attempts: int = 2) -> bool:
+def _tpu_reachable(timeout_s: int = 90, attempts: int = 1) -> bool:
     """Probe the TPU in a subprocess: a dead tunnel hangs jax init forever.
 
-    Two attempts with a generous timeout — a single short probe can lose the
-    race against another process briefly holding the tunnel and wrongly
-    demote the benchmark to CPU.
+    ONE attempt, <=90 s: round 3's 4x150s probe ladder burned ~11.5 minutes
+    before the first compile and timed out the driver's capture window
+    (BENCH_r03.json rc=124). A lost race against another tunnel holder now
+    demotes to the labeled-fallback path instead of hanging the benchmark —
+    the fallback is visible, a timeout is not.
     """
     import subprocess
-    import sys
-    import time as _time
 
     for i in range(attempts):
         try:
@@ -91,8 +116,6 @@ def _tpu_reachable(timeout_s: int = 150, attempts: int = 2) -> bool:
                 return True
         except Exception:
             pass
-        if i + 1 < attempts:
-            _time.sleep(30)
     return False
 
 
@@ -136,9 +159,70 @@ def _time_phase(trainer, start_step: int, warmup: int, iters: int, key,
     return dt, float(m["loss_total"][-1]), trainer._loop_key
 
 
+def _weighted(cfg_phases, times_s):
+    """60k-weighted rays/s from per-phase seconds/step.
+
+    cfg_phases = (n_iters, fine_start, max_iter, obj_rays, scene_rays)."""
+    n_iters, fine_start, max_iter, obj_rays, scene_rays = cfg_phases
+    steps = np.array([n_iters, fine_start - n_iters, max_iter - fine_start], float)
+    times = np.asarray(times_s, float)
+    rays = np.array([obj_rays + scene_rays, scene_rays, scene_rays], float)
+    total_time = float((steps * times).sum())
+    total_rays = float((steps * rays).sum())
+    return total_rays / total_time, total_time
+
+
+def _result_line(cfg_phases, times_s, measured, extra):
+    """Build the JSON result dict; unmeasured phases use COMMITTED_TPU values
+    and are excluded from `phases_measured` so the provenance is explicit."""
+    n_iters, fine_start, max_iter, obj_rays, scene_rays = cfg_phases
+    wrps, total_time = _weighted(cfg_phases, times_s)
+    t_early, t_coarse, t_mid = times_s
+    result = {
+        "metric": "joint_train_rays_per_sec_60k_weighted",
+        "value": round(wrps, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(wrps / REFERENCE_RAYS_PER_SEC, 3),
+        "early_ms": round(t_early * 1e3, 2),
+        "coarse_ms": round(t_coarse * 1e3, 2),
+        "mid_ms": round(t_mid * 1e3, 2),
+        "early_rays_per_sec": round((obj_rays + scene_rays) / t_early, 1),
+        "mid_rays_per_sec": round(scene_rays / t_mid, 1),
+        "steps_per_sec_weighted": round(max_iter / total_time, 3),
+        "est_60k_run_minutes": round(total_time / 60.0, 1),
+        "phases_measured": measured,
+        # time-to-PSNR from the latest committed convergence artifact on this
+        # device class (logs/r3_3view_gate_mc: 3-view protocol, 20k steps,
+        # TPU v5e): test PSNR 32.12 / SSIM 0.973 in 22.2 wall-clock minutes.
+        # SPARF-class CUDA joint training needs hours for the same protocol.
+        "time_to_psnr30_3view_minutes": 22.2,
+        # the 4096 rays/s denominator is the builder's documented PROXY for
+        # SPARF-class CUDA throughput (module docstring), not a measurement
+        # of the reference, which publishes no numbers (BASELINE.json).
+        "baseline_is_proxy": True,
+    }
+    if len(measured) < 3:
+        result["note"] = ("phases %s use the last committed TPU values (%s), "
+                          "not fresh measurements" % (
+                              sorted(set(["early", "coarse", "mid"]) - set(measured)),
+                              COMMITTED_TPU["source"]))
+    result.update(extra)
+    return result
+
+
 def main(small: bool = False, warmup: int = 3, iters: int = 20,
          matmul_dtype: str = "bfloat16"):
-    import os
+    t_wall0 = time.time()
+    # Total wall-clock budget: emit whatever is measured by the deadline and
+    # exit 0 instead of letting the driver's capture window expire (round-3
+    # verdict #1). Checked between phases, not preemptively.
+    deadline_s = float(os.environ.get("POSEPROBE_BENCH_DEADLINE_S", "480"))
+
+    # Persistent compilation cache: repeated bench runs (and the driver's
+    # end-of-round run) skip recompiles when the relay supports it; harmless
+    # no-op otherwise.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
     # 100-step scan windows measured fastest (44.3k rays/s vs 43.1k at 25 —
     # pure dispatch amortization, numerically identical; logs/r3_queue/
@@ -147,7 +231,7 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
     superstep = int(os.environ.get("POSEPROBE_SUPERSTEP", "100"))
 
     force = os.environ.get("POSEPROBE_BENCH_FORCE_TPU", "") == "1"
-    fallback_note = None
+    fallback = False
     if os.environ.get("POSEPROBE_BENCH_CPU", "") == "1":
         # explicit CPU validation mode (e.g. while another process owns the
         # TPU tunnel — one process at a time, CLAUDE.md)
@@ -156,17 +240,49 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
         jax.config.update("jax_platforms", "cpu")
         small = True
     elif (not force and os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
-            and not _tpu_reachable(attempts=4)):
-        # the tunneled TPU is down: fall back to CPU so the benchmark still
-        # reports (the device field makes the fallback visible)
+            and not _tpu_reachable()):
+        # The tunneled TPU is down. FIRST emit the labeled fallback line so
+        # the driver always captures a parseable result, THEN cross-check on
+        # CPU at reduced workload if the deadline allows.
+        fallback = True
+        committed = [COMMITTED_TPU["early_ms"] / 1e3,
+                     COMMITTED_TPU["coarse_ms"] / 1e3,
+                     COMMITTED_TPU["mid_ms"] / 1e3]
+        cfg_phases = (10000, 18000, 60000, 1024, 1024)
+        _emit(_result_line(cfg_phases, committed, [], {
+            "tpu_unreachable": True,
+            "measured": False,
+            "device": "unreachable (last committed: TPU v5e)",
+            "note": ("TPU tunnel unreachable after one 90 s probe; value is "
+                     "the last committed TPU measurement (%s), NOT fresh. "
+                     "CPU cross-check follows if the deadline allows."
+                     % COMMITTED_TPU["source"]),
+        }))
+        if time.time() - t_wall0 > deadline_s - 240:
+            return None
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         small = True
-        fallback_note = ("TPU tunnel unreachable after 4 probes; CPU fallback "
-                         "at reduced workload. NOT the TPU throughput — see "
-                         "the latest TPU entry in PERFORMANCE.md")
     import jax
+
+    if small:
+        # CPU-class workload: minimal timing footprint — XLA:CPU compiles of
+        # the joint step take minutes each; one warm call and a short window
+        # are plenty for a smoke-level cross-check.
+        superstep = min(superstep, 10)
+        warmup, iters = 1, 10
+    elif not fallback:
+        # TPU path: provisional line BEFORE the first (slow, remote) compile
+        # so even a capture-window kill mid-compile leaves a labeled tail.
+        committed0 = [COMMITTED_TPU["early_ms"] / 1e3,
+                      COMMITTED_TPU["coarse_ms"] / 1e3,
+                      COMMITTED_TPU["mid_ms"] / 1e3]
+        _emit(_result_line((10000, 18000, 60000, 1024, 1024), committed0, [], {
+            "partial": True, "measured": False,
+            "note": ("provisional pre-compile line; all phases are the last "
+                     "committed TPU values (%s)" % COMMITTED_TPU["source"]),
+        }))
 
     trainer = build_trainer(small=small, matmul_dtype=matmul_dtype)
     key = jax.random.PRNGKey(0)
@@ -177,55 +293,52 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
     max_iter = cfg.scene_train.max_iter           # 60k
     obj_rays = cfg.object_train.N_rand
     scene_rays = cfg.scene_model.rand_rays
+    cfg_phases = (n_iters, fine_start, max_iter, obj_rays, scene_rays)
 
-    t_early, loss_early, key = _time_phase(trainer, 1, warmup, iters, key,
-                                           superstep=superstep)
-    t_coarse, _, key = _time_phase(trainer, n_iters + 1, warmup, iters, key,
-                                   superstep=superstep)
-    t_mid, loss_mid, key = _time_phase(trainer, fine_start + 1, warmup, iters, key,
+    committed = [COMMITTED_TPU["early_ms"] / 1e3,
+                 COMMITTED_TPU["coarse_ms"] / 1e3,
+                 COMMITTED_TPU["mid_ms"] / 1e3]
+    device = str(jax.devices()[0])
+    common = {"matmul_dtype": matmul_dtype, "superstep": superstep,
+              "maskcache": True, "device": device}
+    if fallback:
+        common["tpu_unreachable"] = True
+        common["note_device"] = ("CPU fallback at reduced workload — NOT TPU "
+                                 "throughput; headline fields mix CPU-measured "
+                                 "phases with committed TPU values, see "
+                                 "phases_measured")
+
+    # Phase order mid -> early -> coarse: mid covers 70% of a real run, so a
+    # deadline cut after one phase still leaves the dominant regime measured.
+    times = list(committed)
+    measured: list = []
+    t_mid, loss_mid, key = _time_phase(trainer, fine_start + 1, warmup, iters,
+                                       key, superstep=superstep)
+    times[2] = t_mid
+    measured.append("mid")
+    _emit(_result_line(cfg_phases, times, measured,
+                       dict(common, loss=loss_mid, partial=True)))
+    loss = loss_mid
+    if time.time() - t_wall0 < deadline_s:
+        t_early, loss_early, key = _time_phase(trainer, 1, warmup, iters, key,
+                                               superstep=superstep)
+        times[0] = t_early
+        measured.append("early")
+        loss = loss_mid if np.isfinite(loss_mid) else loss_early
+        _emit(_result_line(cfg_phases, times, measured,
+                           dict(common, loss=loss, partial=True)))
+    if time.time() - t_wall0 < deadline_s:
+        t_coarse, _, key = _time_phase(trainer, n_iters + 1, warmup, iters, key,
                                        superstep=superstep)
-
-    # 60k-weighted totals (steps per regime x regime cost)
-    steps = np.array([n_iters, fine_start - n_iters, max_iter - fine_start], float)
-    times = np.array([t_early, t_coarse, t_mid])
-    rays = np.array([obj_rays + scene_rays, scene_rays, scene_rays], float)
-    total_time = float((steps * times).sum())
-    total_rays = float((steps * rays).sum())
-    weighted_rays_per_sec = total_rays / total_time
-
-    result = {
-        "metric": "joint_train_rays_per_sec_60k_weighted",
-        "value": round(weighted_rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(weighted_rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
-        "early_ms": round(t_early * 1e3, 2),
-        "coarse_ms": round(t_coarse * 1e3, 2),
-        "mid_ms": round(t_mid * 1e3, 2),
-        "early_rays_per_sec": round((obj_rays + scene_rays) / t_early, 1),
-        "mid_rays_per_sec": round(scene_rays / t_mid, 1),
-        "steps_per_sec_weighted": round(max_iter / total_time, 3),
-        "est_60k_run_minutes": round(total_time / 60.0, 1),
-        # time-to-PSNR from the latest committed convergence artifact on this
-        # device class (logs/r3_3view_gate_mc: 3-view protocol, 20k steps,
-        # TPU v5e): test PSNR 32.12 / SSIM 0.973 in 22.2 wall-clock minutes.
-        # SPARF-class CUDA joint training needs hours for the same protocol.
-        "time_to_psnr30_3view_minutes": 22.2,
-        "matmul_dtype": matmul_dtype,
-        "superstep": superstep,
-        "maskcache": True,
-        "loss": loss_mid if np.isfinite(loss_mid) else loss_early,
-        "device": str(jax.devices()[0]),
-    }
-    if fallback_note is not None:
-        result["tpu_unreachable"] = True
-        result["note"] = fallback_note
-    print(json.dumps(result))
+        times[1] = t_coarse
+        measured.append("coarse")
+    result = _result_line(cfg_phases, times, measured, dict(common, loss=loss))
+    result["bench_wall_clock_s"] = round(time.time() - t_wall0, 1)
+    _emit(result)
     return result
 
 
 if __name__ == "__main__":
-    import sys
-
     dtype = "bfloat16"
     if "--f32" in sys.argv:
         dtype = "float32"

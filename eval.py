@@ -30,6 +30,13 @@ def main():
                    help="synthetic scene: probe shape (must match the run)")
     p.add_argument("--n_views", type=int, default=0,
                    help="synthetic-only: number of training views the ckpt was trained with")
+    p.add_argument("--n_test", type=int, default=0,
+                   help="synthetic-only: held-out view count (must match the run)")
+    p.add_argument("--res", type=int, default=0,
+                   help="synthetic-only: image H=W (must match the run)")
+    p.add_argument("--texture", type=str, default="checker",
+                   choices=["checker", "noise"],
+                   help="synthetic-only: surface texture (must match the run)")
     p.add_argument("--no_test_optim", action="store_true")
     p.add_argument("--render_video", action="store_true")
     p.add_argument("--eval_mesh", action="store_true")
@@ -62,6 +69,13 @@ def main():
         loader_kwargs["n_train"] = args.n_views
     if args.probe != "cube" and cfg.data.dataset_type == "synthetic":
         loader_kwargs["probe"] = args.probe
+    if cfg.data.dataset_type == "synthetic":
+        if args.n_test:
+            loader_kwargs["n_test"] = args.n_test
+        if args.res:
+            loader_kwargs["H"] = loader_kwargs["W"] = args.res
+        if args.texture != "checker":
+            loader_kwargs["texture"] = args.texture
     data = load_data(cfg.data, matcher_backend=args.matcher, **loader_kwargs)
     trainer = JointTrainer(cfg, data)
     payload = state_mod.load_checkpoint(args.ckpt)

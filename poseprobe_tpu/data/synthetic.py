@@ -73,7 +73,43 @@ def probe_surface_points(n: int = 200_000, half: float = 0.35,
     raise ValueError(f"unknown probe shape: {probe!r}")
 
 
-def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0, probe="cube"):
+def _value_noise(u: np.ndarray, v: np.ndarray, seed: float = 0.0,
+                 octaves: int = 3, base_freq: float = 6.0) -> np.ndarray:
+    """Deterministic smooth value noise in [0, 1], a pure function of (u, v).
+
+    World-anchored texture for the real-matcher protocol: every view sees the
+    same pattern at the same surface point (view-consistent), each lattice
+    cell is unique (no checker-lattice aliasing — SIFT's ratio test rejects
+    repetitive texture, observed: 6-17 matches/pair on the checker probe),
+    and the bilinear lattice interpolation keeps it band-limited enough to
+    sample stably at 64-128 px. Hash = frac(sin(dot)) lattice, the classic
+    shader one-liner — no RNG state, hermetic across processes.
+    """
+    out = np.zeros_like(u, dtype=np.float64)
+    amp_sum = 0.0
+    for o in range(octaves):
+        f = base_freq * (2.0 ** o)
+        amp = 0.5 ** o
+        x, y = u * f, v * f
+        xi, yi = np.floor(x), np.floor(y)
+        xf, yf = x - xi, y - yi
+        # smoothstep fade
+        sx = xf * xf * (3 - 2 * xf)
+        sy = yf * yf * (3 - 2 * yf)
+
+        def h(i, j):
+            return np.modf(np.abs(np.sin(i * 127.1 + j * 311.7 + seed * 74.7)
+                                  * 43758.5453))[0]
+
+        n = ((h(xi, yi) * (1 - sx) + h(xi + 1, yi) * sx) * (1 - sy)
+             + (h(xi, yi + 1) * (1 - sx) + h(xi + 1, yi + 1) * sx) * sy)
+        out += amp * n
+        amp_sum += amp
+    return out / amp_sum
+
+
+def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0, probe="cube",
+                        texture="checker"):
     """Analytic render: colored probe (cube/sphere) + gradient background wall.
 
     Returns rgb [N, 3], depth [N], hit_mask [N].
@@ -112,8 +148,19 @@ def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0, probe="cube"):
     uv_axes = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
     u = np.take_along_axis(p_hit, np.array([uv_axes[a][0] for a in axis])[:, None], 1)[:, 0]
     v = np.take_along_axis(p_hit, np.array([uv_axes[a][1] for a in axis])[:, None], 1)[:, 0]
-    checker = ((np.floor(u * 8) + np.floor(v * 8)) % 2) * 0.3 + 0.7
-    rgb[hit] = face_colors[face_id] * checker[:, None]
+    if texture == "noise":
+        # distinctive per-face value noise (real-matcher protocol): two
+        # decorrelated octave stacks modulate brightness + a channel tint
+        nu = _value_noise(u / (2 * half) + 0.5, v / (2 * half) + 0.5,
+                          seed=1.0 + face_id)
+        nt = _value_noise(u / (2 * half) + 0.5, v / (2 * half) + 0.5,
+                          seed=13.0 + face_id, base_freq=11.0)
+        shade = (0.45 + 0.55 * nu)[:, None] * np.stack(
+            [0.8 + 0.2 * nt, np.ones_like(nt), 1.0 - 0.2 * nt], -1)
+        rgb[hit] = np.clip(face_colors[face_id] * shade, 0, 1)
+    else:
+        checker = ((np.floor(u * 8) + np.floor(v * 8)) % 2) * 0.3 + 0.7
+        rgb[hit] = face_colors[face_id] * checker[:, None]
     depth[hit] = t[hit]
     # background: gradient wall at z = bg_dist plane (world z)
     miss = ~hit
@@ -124,15 +171,46 @@ def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0, probe="cube"):
         0.35 + 0.25 * np.sin(pw[:, 1] * 2.5 + 1.0),
         0.45 + 0.25 * np.sin((pw[:, 0] + pw[:, 1]) * 1.5),
     ], -1).astype(np.float32)
+    if texture == "noise":
+        # wall speckle so the SCENE matcher (corres loss) finds keypoints on
+        # the background too, not just the probe silhouette
+        wn = _value_noise(pw[:, 0] * 0.35, pw[:, 1] * 0.35, seed=29.0,
+                          base_freq=9.0)
+        rgb[miss] = np.clip(rgb[miss] * (0.55 + 0.65 * wn[:, None]), 0, 1)
     depth[miss] = tz
     return np.clip(rgb, 0, 1), depth, hit
 
 
-def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int = 64,
+def make_synthetic_scene(n_train: int = 3, n_test: int = 4, H: int = 64, W: int = 64,
                          cube_half: float = 0.35, seed: int = 0,
                          n_matches: int = 128,
                          arc_half: float | None = None,
-                         probe: str = "cube") -> base.SceneData:
+                         probe: str = "cube",
+                         match_source: str = "analytic",
+                         match_noise_px: float = 0.0,
+                         match_outlier_frac: float = 0.0,
+                         matcher_backend: str = "classical",
+                         texture: str = "checker") -> base.SceneData:
+    """Build the hermetic scene.
+
+    `n_test` defaults to 4 held-out views so headline PSNRs are not 2-sample
+    statistics (round-3 verdict weak #7).
+
+    Match realism knobs (round-3 verdict missing #1 — every committed
+    convergence artifact consumed perfect analytic matches):
+
+    * ``match_source="analytic"`` — GT-projected correspondences (exact).
+    * ``match_source="classical"|"superglue"`` — run the REAL feature
+      matcher (`pose_init.matching.build_match_packs`) on the rendered
+      images, the exact load-time flow of the reference
+      (`lib/load_dtu.py:126-155`): detector noise, outliers, and
+      non-uniform coverage included.
+    * ``match_noise_px`` — i.i.d. Gaussian pixel noise added to every
+      analytic match endpoint (a real matcher's localisation error).
+    * ``match_outlier_frac`` — this fraction of valid matches replaced by
+      uniform random in-bounds pixel pairs at full confidence (gross
+      mismatches that PnP-RANSAC + the gate/rescue stack must reject).
+    """
     rng = np.random.default_rng(seed)
     n_views = n_train + n_test
     f = 0.9 * W
@@ -173,7 +251,7 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int 
         rd = dirs @ R_c2w.T
         ro = np.broadcast_to(cam_pos, rd.shape)
         rgb, depth, hit = _raycast_cube_scene(ro.reshape(-1, 3), rd.reshape(-1, 3), cube_half,
-                                              probe=probe)
+                                              probe=probe, texture=texture)
         images.append(rgb.reshape(H, W, 3))
         masks.append(hit.reshape(H, W, 1).astype(np.float32))
         depths.append(depth.reshape(H, W))
@@ -184,34 +262,51 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int 
     i_train = np.arange(n_train)
     i_test = np.arange(n_train, n_views)
 
-    # analytic "matches": project cube surface points seen in both paired views
     pair_j = base.default_pair_j(n_train)
-    obj_matches = np.zeros((n_train, n_matches, 5), np.float32)
-    scene_matches = np.zeros((n_train, n_matches, 5), np.float32)
-    for i in range(n_train):
-        j = pair_j[i]
-        for pack, on_cube in ((obj_matches, True), (scene_matches, False)):
-            pts3d = _sample_visible_points(rng, n_matches * 4, cube_half, on_cube, depths[j],
-                                           poses_w2c[j], K, H, W, probe=probe)
-            # project into both views, keep in-bounds
-            def proj(pose, pts):
-                pc = pts @ pose[:, :3].T + pose[:, 3]
-                return pc[:, :2] / pc[:, 2:], pc[:, 2]
-            p_j, z_j = proj(poses_w2c[j], pts3d)
-            p_i, z_i = proj(poses_w2c[i], pts3d)
-            px_j = p_j @ K[:2, :2].T + K[:2, 2]
-            px_i = p_i @ K[:2, :2].T + K[:2, 2]
-            ok = ((px_j >= 1) & (px_j <= [W - 2, H - 2])).all(1) & \
-                 ((px_i >= 1) & (px_i <= [W - 2, H - 2])).all(1) & (z_i > 0.1) & (z_j > 0.1)
-            # co-visibility: the point must be the FIRST surface hit in BOTH
-            # views (a real matcher only pairs mutually visible points; an
-            # occluded-in-j point would hand PnP a wrong 3D anchor)
-            ok &= _visible_in(px_j, z_j, depths[j]) & _visible_in(px_i, z_i, depths[i])
-            sel = np.where(ok)[0][:n_matches]
-            m = len(sel)
-            pack[i, :m, 0:2] = px_j[sel]   # pixels in paired (previous) view
-            pack[i, :m, 2:4] = px_i[sel]   # pixels in current view
-            pack[i, :m, 4] = 1.0
+    if match_source in ("classical", "superglue"):
+        # real matcher on the rendered pixels — the reference's load-time flow
+        from ..pose_init.matching import build_match_packs
+
+        obj_matches, scene_matches = build_match_packs(
+            images, masks, i_train, pair_j, max_matcher=n_matches,
+            backend=matcher_backend if match_source == "classical" else "superglue")
+    elif match_source == "analytic":
+        # analytic "matches": project probe surface points seen in both views
+        obj_matches = np.zeros((n_train, n_matches, 5), np.float32)
+        scene_matches = np.zeros((n_train, n_matches, 5), np.float32)
+        for i in range(n_train):
+            j = pair_j[i]
+            for pack, on_cube in ((obj_matches, True), (scene_matches, False)):
+                pts3d = _sample_visible_points(rng, n_matches * 4, cube_half, on_cube, depths[j],
+                                               poses_w2c[j], K, H, W, probe=probe)
+                # project into both views, keep in-bounds
+                def proj(pose, pts):
+                    pc = pts @ pose[:, :3].T + pose[:, 3]
+                    return pc[:, :2] / pc[:, 2:], pc[:, 2]
+                p_j, z_j = proj(poses_w2c[j], pts3d)
+                p_i, z_i = proj(poses_w2c[i], pts3d)
+                px_j = p_j @ K[:2, :2].T + K[:2, 2]
+                px_i = p_i @ K[:2, :2].T + K[:2, 2]
+                ok = ((px_j >= 1) & (px_j <= [W - 2, H - 2])).all(1) & \
+                     ((px_i >= 1) & (px_i <= [W - 2, H - 2])).all(1) & (z_i > 0.1) & (z_j > 0.1)
+                # co-visibility: the point must be the FIRST surface hit in BOTH
+                # views (a real matcher only pairs mutually visible points; an
+                # occluded-in-j point would hand PnP a wrong 3D anchor)
+                ok &= _visible_in(px_j, z_j, depths[j]) & _visible_in(px_i, z_i, depths[i])
+                sel = np.where(ok)[0][:n_matches]
+                m = len(sel)
+                pack[i, :m, 0:2] = px_j[sel]   # pixels in paired (previous) view
+                pack[i, :m, 2:4] = px_i[sel]   # pixels in current view
+                pack[i, :m, 4] = 1.0
+    else:
+        raise ValueError(f"unknown match_source: {match_source!r}")
+    if match_noise_px > 0 or match_outlier_frac > 0:
+        corrupt_match_packs(rng, obj_matches, H, W,
+                            noise_px=match_noise_px,
+                            outlier_frac=match_outlier_frac)
+        corrupt_match_packs(rng, scene_matches, H, W,
+                            noise_px=match_noise_px,
+                            outlier_frac=match_outlier_frac)
 
     samplers = base.build_semantic_samplers(masks[:n_train])
     # probe bbox sized so the cube SDF init (rect = span/(1.25*1.05)) matches
@@ -235,6 +330,47 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 2, H: int = 64, W: int 
         # depth output, usable directly as depth-metric GT
         depth_gt=np.stack(depths).astype(np.float32),
     )
+
+
+def corrupt_match_packs(rng, packs: np.ndarray, H: int, W: int,
+                        noise_px: float = 0.0,
+                        outlier_frac: float = 0.0) -> np.ndarray:
+    """Degrade analytic match packs toward real-matcher statistics, IN PLACE.
+
+    Models the two failure modes of a learned/classical matcher that the
+    reference pipeline absorbs via PnP-RANSAC (`lib/recon_scene.py:276-310`,
+    `reprojectionError=4.0` analog) and that the gate/rescue stack must
+    survive (round-3 verdict missing #1):
+
+    * localisation noise — i.i.d. Gaussian ``noise_px`` on all four pixel
+      coordinates of every valid match;
+    * gross outliers — ``outlier_frac`` of valid rows replaced by uniform
+      random in-bounds pixel pairs, confidence left at 1.0 (RANSAC gets no
+      hint; a conf-thresholding shortcut cannot hide them).
+
+    Coordinates are clipped to the valid pixel range so downstream bilinear
+    reads stay in-bounds. Returns `packs` for chaining.
+    """
+    n_pair = packs.shape[0]
+    for i in range(n_pair):
+        valid = np.where(packs[i, :, 4] > 0)[0]
+        if len(valid) == 0:
+            continue
+        if noise_px > 0:
+            packs[i, valid, 0:4] += rng.normal(0.0, noise_px, (len(valid), 4))
+        if outlier_frac > 0:
+            n_out = int(round(outlier_frac * len(valid)))
+            if n_out > 0:
+                out = rng.choice(valid, n_out, replace=False)
+                packs[i, out, 0] = rng.uniform(1, W - 2, n_out)
+                packs[i, out, 1] = rng.uniform(1, H - 2, n_out)
+                packs[i, out, 2] = rng.uniform(1, W - 2, n_out)
+                packs[i, out, 3] = rng.uniform(1, H - 2, n_out)
+        packs[i, valid, 0] = np.clip(packs[i, valid, 0], 1, W - 2)
+        packs[i, valid, 1] = np.clip(packs[i, valid, 1], 1, H - 2)
+        packs[i, valid, 2] = np.clip(packs[i, valid, 2], 1, W - 2)
+        packs[i, valid, 3] = np.clip(packs[i, valid, 3], 1, H - 2)
+    return packs
 
 
 def _visible_in(px: np.ndarray, z_cam: np.ndarray, depth_map: np.ndarray,

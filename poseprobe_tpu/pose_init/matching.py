@@ -49,16 +49,30 @@ def match_pair_classical(img_i: np.ndarray, img_j: np.ndarray,
     if not _HAS_CV2:
         return pack
     g_i, g_j = _grayscale_u8(img_i), _grayscale_u8(img_j)
+    # Small-image handling: the protocol images are 64-300 px; SIFT's default
+    # octave pyramid finds almost nothing there (measured: 4-9 keypoints at
+    # 128 px with defaults). Detect on a cubic-upscaled copy with a permissive
+    # contrast threshold and divide the coordinates back — 44 mutual matches
+    # on the same pair (benchmarked in the round-4 journal).
+    up = max(1, int(round(256.0 / max(min(g_i.shape[:2] + g_j.shape[:2]), 1))))
+    up = min(up, 4)
+    if up > 1:
+        g_i = cv2.resize(g_i, None, fx=up, fy=up, interpolation=cv2.INTER_CUBIC)
+        g_j = cv2.resize(g_j, None, fx=up, fy=up, interpolation=cv2.INTER_CUBIC)
     det = None
     try:
-        det = cv2.SIFT_create(nfeatures=2048)
+        det = cv2.SIFT_create(nfeatures=4096, contrastThreshold=0.004,
+                              edgeThreshold=16)
         norm = cv2.NORM_L2
     except Exception:
-        det = cv2.ORB_create(nfeatures=2048)
+        det = cv2.ORB_create(nfeatures=4096)
         norm = cv2.NORM_HAMMING
     mask_u8 = None
     if mask_j is not None:
         mask_u8 = (np.asarray(mask_j).squeeze() > 0).astype(np.uint8) * 255
+        if up > 1:
+            mask_u8 = cv2.resize(mask_u8, None, fx=up, fy=up,
+                                 interpolation=cv2.INTER_NEAREST)
     kp_j, des_j = det.detectAndCompute(g_j, mask_u8)
     kp_i, des_i = det.detectAndCompute(g_i, None)
     if des_j is None or des_i is None or len(kp_j) < 2 or len(kp_i) < 2:
@@ -75,9 +89,10 @@ def match_pair_classical(img_i: np.ndarray, img_j: np.ndarray,
     good = [m for m in good if back.get(m.trainIdx, -1) == m.queryIdx]
     good.sort(key=lambda m: m.distance)
     good = good[:max_matcher]
+    inv = 1.0 / up
     for k, m in enumerate(good):
-        pack[k, 0:2] = kp_j[m.queryIdx].pt
-        pack[k, 2:4] = kp_i[m.trainIdx].pt
+        pack[k, 0:2] = np.asarray(kp_j[m.queryIdx].pt) * inv
+        pack[k, 2:4] = np.asarray(kp_i[m.trainIdx].pt) * inv
         pack[k, 4] = 1.0 / (1.0 + m.distance / 100.0)
     return pack
 

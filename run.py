@@ -62,7 +62,7 @@ def parse_args():
                         "them with the pose window)")
     p.add_argument("--pose_window", type=float, default=0.0,
                    help="override ratio_end_joint_nerf_pose_refinement")
-    p.add_argument("--superstep", type=int, default=25,
+    p.add_argument("--superstep", type=int, default=100,
                    help="steps per lax.scan device program between host "
                         "events (1 = one dispatch per step); numerically "
                         "identical, amortizes relay/dispatch latency")
@@ -75,6 +75,29 @@ def parse_args():
     p.add_argument("--arc_half", type=float, default=0.0,
                    help="synthetic scene: half-width of the camera arc in "
                         "radians (default: auto, ~14deg per view pair)")
+    p.add_argument("--n_test", type=int, default=0,
+                   help="synthetic scene: number of held-out test views "
+                        "(default 4 — multi-sample PSNR statistics)")
+    p.add_argument("--res", type=int, default=0,
+                   help="synthetic scene: image H=W (default 64; raise for "
+                        "real-matcher runs, which need texture detail)")
+    p.add_argument("--match_source", type=str, default="analytic",
+                   choices=["analytic", "classical", "superglue"],
+                   help="synthetic scene: correspondence source — analytic "
+                        "GT projections, or the REAL feature matcher run on "
+                        "the rendered images (the reference's load-time flow, "
+                        "load_dtu.py:126-155)")
+    p.add_argument("--match_noise_px", type=float, default=0.0,
+                   help="synthetic scene: Gaussian pixel noise added to "
+                        "analytic match endpoints")
+    p.add_argument("--match_outliers", type=float, default=0.0,
+                   help="synthetic scene: fraction of matches replaced by "
+                        "uniform random outliers at full confidence")
+    p.add_argument("--texture", type=str, default="checker",
+                   choices=["checker", "noise"],
+                   help="synthetic scene: surface texture — 'noise' is the "
+                        "distinctive value-noise texture the real-matcher "
+                        "protocol needs (checker aliases SIFT)")
     p.add_argument("--probe", type=str, default="cube",
                    choices=["cube", "sphere"],
                    help="synthetic scene: pose-probe object shape (sphere "
@@ -359,6 +382,19 @@ def main():
         loader_kwargs["arc_half"] = args.arc_half
     if args.probe != "cube" and cfg.data.dataset_type == "synthetic":
         loader_kwargs["probe"] = args.probe
+    if cfg.data.dataset_type == "synthetic":
+        if args.n_test:
+            loader_kwargs["n_test"] = args.n_test
+        if args.res:
+            loader_kwargs["H"] = loader_kwargs["W"] = args.res
+        if args.match_source != "analytic":
+            loader_kwargs["match_source"] = args.match_source
+        if args.match_noise_px:
+            loader_kwargs["match_noise_px"] = args.match_noise_px
+        if args.match_outliers:
+            loader_kwargs["match_outlier_frac"] = args.match_outliers
+        if args.texture != "checker":
+            loader_kwargs["texture"] = args.texture
     if args.tiny and cfg.data.dataset_type == "synthetic":
         loader_kwargs["H"] = loader_kwargs["W"] = 32
     data = load_data(cfg.data, matcher_backend=args.matcher, **loader_kwargs)
