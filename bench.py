@@ -73,8 +73,13 @@ def build_trainer(small: bool = False, matmul_dtype: str = "bfloat16"):
     grid = 24 if small else 96
     cfg = cfg_mod.ExperimentConfig(
         data=cfg_mod.DataConfig(near=data.near, far=data.far),
-        camera=cfg_mod.CameraConfig(incremental=True, incremental_step=800, barf_c2f=(0.6, 1.0)),
-        pnp=cfg_mod.PnPConfig(use_pnp=True),
+        # fix_first_pose=True keeps the exact production train-step program
+        # (PnP-mode gauge fixing); use_pnp=False only skips the PnP INIT
+        # compile chain, which is off the timed path and cost ~2 min of
+        # bench wall-clock against the driver's capture window.
+        camera=cfg_mod.CameraConfig(incremental=True, incremental_step=800,
+                                    barf_c2f=(0.6, 1.0), fix_first_pose=True),
+        pnp=cfg_mod.PnPConfig(use_pnp=False),
         object_model=ObjectConfig(
             xyz_min=(-margin,) * 3, xyz_max=(margin,) * 3,
             num_voxels=grid**3, num_voxels_base=grid**3,
@@ -94,14 +99,16 @@ def build_trainer(small: bool = False, matmul_dtype: str = "bfloat16"):
     return JointTrainer(cfg, data)
 
 
-def _tpu_reachable(timeout_s: int = 90, attempts: int = 1) -> bool:
+def _tpu_reachable(timeout_s: int = 75, attempts: int = 2) -> bool:
     """Probe the TPU in a subprocess: a dead tunnel hangs jax init forever.
 
-    ONE attempt, <=90 s: round 3's 4x150s probe ladder burned ~11.5 minutes
+    Total budget <=160 s: round 3's 4x150s probe ladder burned ~11.5 minutes
     before the first compile and timed out the driver's capture window
-    (BENCH_r03.json rc=124). A lost race against another tunnel holder now
-    demotes to the labeled-fallback path instead of hanging the benchmark —
-    the fallback is visible, a timeout is not.
+    (BENCH_r03.json rc=124). Two short attempts (a healthy probe answers in
+    <7 s; one retry absorbs a transient tunnel-holder race, observed when
+    another process's jax import overlapped the probe) — then demote to the
+    labeled-fallback path instead of hanging: the fallback is visible, a
+    timeout is not.
     """
     import subprocess
 
@@ -116,6 +123,8 @@ def _tpu_reachable(timeout_s: int = 90, attempts: int = 1) -> bool:
                 return True
         except Exception:
             pass
+        if i + 1 < attempts:
+            time.sleep(10)
     return False
 
 
@@ -216,7 +225,11 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
     # Total wall-clock budget: emit whatever is measured by the deadline and
     # exit 0 instead of letting the driver's capture window expire (round-3
     # verdict #1). Checked between phases, not preemptively.
-    deadline_s = float(os.environ.get("POSEPROBE_BENCH_DEADLINE_S", "480"))
+    # Budget: probe ~10 s + build ~1 min + ~3-6 min remote compile per phase.
+    # Checked BETWEEN phases — mid (70% of a real run) measures first, early
+    # second (together 96.5% of weighted wall-clock), coarse (3.5%) last, so
+    # a cut loses the least informative phase first.
+    deadline_s = float(os.environ.get("POSEPROBE_BENCH_DEADLINE_S", "660"))
 
     # Persistent compilation cache: repeated bench runs (and the driver's
     # end-of-round run) skip recompiles when the relay supports it; harmless

@@ -80,6 +80,7 @@ def main():
     trainer = JointTrainer(cfg, data)
     payload = state_mod.load_checkpoint(args.ckpt)
     trainer.state = state_mod.restore_state(trainer.state, payload)
+    trainer.restore_host_extras(state_mod.get_extras(payload))
     print(f"[eval] restored step {trainer.state.step} from {args.ckpt}")
 
     out_dir = args.out_dir or os.path.join(cfg.basedir, cfg.expname, "eval")

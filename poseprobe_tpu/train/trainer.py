@@ -163,6 +163,29 @@ class JointTrainer:
                                  if sc.start_ratio_depth_cons is not None else -1)
         self._metrics_hist: list[dict] = []
 
+    # ----------------------------------------------------------- ckpt extras
+
+    def host_extras(self) -> dict:
+        """Host-side state for exact resume (train/state.py extras contract):
+        the loop RNG key (steps_scan consumes it functionally — without it a
+        resumed run draws different ray batches) and the maskcache."""
+        ex = {"loop_key": np.asarray(self._loop_key)}
+        if self.mask_arr is not None:
+            ex["mask_arr"] = np.asarray(self.mask_arr)
+        if self._mask_k is not None:
+            ex["mask_k"] = np.int64(self._mask_k)
+        return ex
+
+    def restore_host_extras(self, extras: dict) -> None:
+        """Inverse of `host_extras`; safe on {} (legacy v1 checkpoints keep
+        the fresh trainer's key — resumable but not bit-identical)."""
+        if "loop_key" in extras:
+            self._loop_key = jnp.asarray(extras["loop_key"], jnp.uint32)
+        if "mask_arr" in extras:
+            self.mask_arr = jnp.asarray(extras["mask_arr"], bool)
+        if "mask_k" in extras:
+            self._mask_k = int(extras["mask_k"])
+
     # ------------------------------------------------------------------ poses
 
     @property

@@ -459,10 +459,12 @@ def main():
             print(f"[val {h['step']}] psnr {val:.2f} (best {trainer.state.best_val:.2f})")
             if improved:
                 state_mod.save_checkpoint(os.path.join(out_dir, "best_ckpt.pkl"),
-                                          trainer.state, configs={"expname": cfg.expname})
+                                          trainer.state, configs={"expname": cfg.expname},
+                                          extras=trainer.host_extras())
         if args.i_ckpt and h["step"] % args.i_ckpt == 0:
             state_mod.save_checkpoint(os.path.join(out_dir, "last_ckpt.pkl"),
-                                      trainer.state, configs={"expname": cfg.expname})
+                                      trainer.state, configs={"expname": cfg.expname},
+                                      extras=trainer.host_extras())
         if (args.i_validate_mesh and h["step"] % args.i_validate_mesh == 0
                 and h["step"] <= cfg.object_train.N_iters):
             # periodic mesh extraction (`recon_scene.py:748-751`)
@@ -478,7 +480,8 @@ def main():
     trainer.fit(max_iter, log_every=min(args.i_print, 100), callback=on_log,
                 superstep=max(args.superstep, 1))
     state_mod.save_checkpoint(os.path.join(out_dir, "last_ckpt.pkl"), trainer.state,
-                              configs={"expname": cfg.expname})
+                              configs={"expname": cfg.expname},
+                              extras=trainer.host_extras())
     print(f"[run] training done in {time.time() - t0:.0f}s")
 
     # final pose error report

@@ -1,5 +1,6 @@
 """End-to-end joint training on the procedural synthetic scene (CPU-sized)."""
 import dataclasses
+import json
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +145,55 @@ class TestJointTrainer:
         # training continues from the restored state
         tr2.fit(5)
         assert tr2.state.step == 35
+
+    def test_kill_and_resume_bit_identical(self, scene_data, tmp_path):
+        """A killed-and-resumed run must CONTINUE, not approximately restart:
+        with the v2 npz checkpoint + host extras (loop RNG key, maskcache)
+        the resumed trainer draws the same ray batches and reproduces the
+        original run's metrics step for step (round-3 verdict #8)."""
+        from poseprobe_tpu.train import state as state_mod
+        cfg = tiny_config(scene_data, max_iter=60, n_iters_obj=50,
+                          incremental_step=20)
+        trA = JointTrainer(cfg, scene_data)
+        trA.fit(24)
+        path = str(tmp_path / "ckpt.npz")
+        state_mod.save_checkpoint(path, trA.state, configs={"expname": "t"},
+                                  extras=trA.host_extras())
+        logA, logB = [], []
+        trA.fit(16, log_every=4,
+                callback=lambda h: logA.append((h["step"],
+                                                float(h["loss_total"]))))
+        trB = JointTrainer(cfg, scene_data)
+        payload = state_mod.load_checkpoint(path)
+        assert payload["version"] == state_mod.CKPT_VERSION
+        trB.state = state_mod.restore_state(trB.state, payload)
+        trB.restore_host_extras(state_mod.get_extras(payload))
+        trB.fit(16, log_every=4,
+                callback=lambda h: logB.append((h["step"],
+                                                float(h["loss_total"]))))
+        assert [s for s, _ in logA] == [s for s, _ in logB]
+        for (sa, la), (_, lb) in zip(logA, logB):
+            assert la == pytest.approx(lb, rel=1e-6, abs=1e-7), (sa, la, lb)
+
+    def test_v2_checkpoint_is_pickle_free_and_audited(self, scene_data, tmp_path):
+        """The write path must produce a plain npz archive loadable with
+        allow_pickle=False, with a manifest naming every leaf."""
+        import zipfile
+
+        from poseprobe_tpu.train import state as state_mod
+        cfg = tiny_config(scene_data, max_iter=40, n_iters_obj=30)
+        tr = JointTrainer(cfg, scene_data)
+        path = str(tmp_path / "ckpt.npz")
+        state_mod.save_checkpoint(path, tr.state, configs={"expname": "t"},
+                                  extras=tr.host_extras())
+        assert zipfile.is_zipfile(path)
+        z = np.load(path, allow_pickle=False)   # raises if pickled objects
+        manifest = json.loads(bytes(z["__manifest__"].tobytes()).decode())
+        assert manifest["version"] == 2
+        for sec, entries in manifest["sections"].items():
+            for e in entries:
+                assert z[e["key"]].shape == tuple(e["shape"]), (sec, e)
+        assert "loop_key" in manifest["extras"]
 
     def test_full_image_render(self, scene_data):
         cfg = tiny_config(scene_data, max_iter=60, n_iters_obj=50)
