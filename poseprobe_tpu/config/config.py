@@ -110,6 +110,17 @@ class CameraConfig:
     # warmup) and keep the photometric argmin. Never fires on healthy
     # activations (their MSE passes the ratio), so it cannot degrade them.
     activation_rescue_ratio: float = 0.0
+    # match-based bundle-adjustment pose polish (pose_init/ba.py; TPU rebuild
+    # extension, () = off = reference behavior): at each step =
+    # ratio * max_iter, triangulate the load-time match packs (chain +
+    # (i-2, i) skip pairs) from the current poses and LM-refine every
+    # non-anchor view against them. Unlike scene-depth re-registration
+    # (harmful: the scene co-adapts to wrong poses, README_r3 queue20), the
+    # matches are independent of the renderer, so the polish breaks the
+    # self-consistent translation distortion that plateaus 6-view runs at
+    # t x100 ~4. Schedule inside the pose window so joint training can
+    # absorb the snap.
+    ba_at_ratios: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,6 +44,12 @@ class SceneData:
     obj_matches: Optional[np.ndarray] = None    # [n_train, M, 5] object-masked
     scene_matches: Optional[np.ndarray] = None  # [n_train, M, 5] full-image
     pair_j: Optional[np.ndarray] = None         # [n_train] int
+    # skip-pair packs for the match-BA pose polish (pose_init/ba.py): chain
+    # pairs alone leave per-pair translation scale free; (i-2, i) pairs
+    # propagate relative scale down the chain. Same [M, 5] layout with
+    # (x_a, y_a, x_b, y_b, conf); ba_pairs rows are train-local (a, b).
+    ba_matches: Optional[np.ndarray] = None     # [n_pairs, M, 5]
+    ba_pairs: Optional[np.ndarray] = None       # [n_pairs, 2] int
     samplers: Optional[SemanticSamplers] = None
     scale_mats: Optional[np.ndarray] = None     # DTU world-scale mats for mesh eval
     depth_gt: Optional[np.ndarray] = None       # [n_views, H, W] camera-z, 0 = invalid

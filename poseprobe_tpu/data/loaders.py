@@ -83,6 +83,14 @@ def _finalize(cfg: DataConfig, images, masks, Ks, poses_w2c, i_train, i_test,
     obj_m, scene_m = matching_mod.build_match_packs(
         images, masks, np.asarray(i_train), pair_j,
         max_matcher=cfg.max_matcher, backend=matcher_backend)
+    # skip-pair packs for the match-BA pose polish (pose_init/ba.py)
+    it = np.asarray(i_train)
+    ba_pairs = np.array([[a - 2, a] for a in range(2, len(it))], np.int32) \
+        if len(it) >= 3 else np.zeros((0, 2), np.int32)
+    ba_m = np.stack([matching_mod.match_pair(images[it[b]], images[it[a]], None,
+                                             cfg.max_matcher, matcher_backend)
+                     for a, b in ba_pairs]) if len(ba_pairs) else \
+        np.zeros((0, cfg.max_matcher, 5), np.float32)
     samplers = base.build_semantic_samplers(masks[np.asarray(i_train)])
     return base.SceneData(
         images=images, masks=masks, Ks=np.asarray(Ks, np.float32),
@@ -92,6 +100,7 @@ def _finalize(cfg: DataConfig, images, masks, Ks, poses_w2c, i_train, i_test,
         xyz_min=np.asarray(cfg.xyz_min, np.float32),
         xyz_max=np.asarray(cfg.xyz_max, np.float32),
         obj_matches=obj_m, scene_matches=scene_m, pair_j=pair_j,
+        ba_matches=ba_m, ba_pairs=ba_pairs,
         samplers=samplers, scale_mats=scale_mats,
         depth_gt=None if depth_gt is None else np.asarray(depth_gt, np.float32),
         inverse_y=cfg.inverse_y, flip_x=cfg.flip_x, flip_y=cfg.flip_y,

@@ -263,50 +263,67 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 4, H: int = 64, W: int 
     i_test = np.arange(n_train, n_views)
 
     pair_j = base.default_pair_j(n_train)
+    # skip pairs (i-2, i) for the match-BA pose polish (pose_init/ba.py):
+    # chain pairs alone leave each pair's translation scale free
+    skip_pairs = np.array([[i - 2, i] for i in range(2, n_train)], np.int32) \
+        if n_train >= 3 else np.zeros((0, 2), np.int32)
+
+    def analytic_pack(j, i, on_cube):
+        """Analytic matches for views (j, i): project surface points seen in
+        both views; co-visibility = first-hit agreement in BOTH depth maps (a
+        real matcher only pairs mutually visible points; an occluded-in-j
+        point would hand PnP a wrong 3D anchor)."""
+        pack = np.zeros((n_matches, 5), np.float32)
+        pts3d = _sample_visible_points(rng, n_matches * 4, cube_half, on_cube,
+                                       depths[j], poses_w2c[j], K, H, W,
+                                       probe=probe)
+
+        def proj(pose, pts):
+            pc = pts @ pose[:, :3].T + pose[:, 3]
+            return pc[:, :2] / pc[:, 2:], pc[:, 2]
+
+        p_j, z_j = proj(poses_w2c[j], pts3d)
+        p_i, z_i = proj(poses_w2c[i], pts3d)
+        px_j = p_j @ K[:2, :2].T + K[:2, 2]
+        px_i = p_i @ K[:2, :2].T + K[:2, 2]
+        ok = ((px_j >= 1) & (px_j <= [W - 2, H - 2])).all(1) & \
+             ((px_i >= 1) & (px_i <= [W - 2, H - 2])).all(1) & \
+             (z_i > 0.1) & (z_j > 0.1)
+        ok &= _visible_in(px_j, z_j, depths[j]) & _visible_in(px_i, z_i, depths[i])
+        sel = np.where(ok)[0][:n_matches]
+        m = len(sel)
+        pack[:m, 0:2] = px_j[sel]   # pixels in the paired (earlier) view
+        pack[:m, 2:4] = px_i[sel]   # pixels in the current view
+        pack[:m, 4] = 1.0
+        return pack
+
     if match_source in ("classical", "superglue"):
         # real matcher on the rendered pixels — the reference's load-time flow
-        from ..pose_init.matching import build_match_packs
+        from ..pose_init.matching import build_match_packs, match_pair
 
+        backend = matcher_backend if match_source == "classical" else "superglue"
         obj_matches, scene_matches = build_match_packs(
             images, masks, i_train, pair_j, max_matcher=n_matches,
-            backend=matcher_backend if match_source == "classical" else "superglue")
+            backend=backend)
+        ba_matches = np.stack([
+            match_pair(images[i], images[j], None, n_matches, backend)
+            for j, i in skip_pairs]) if len(skip_pairs) else \
+            np.zeros((0, n_matches, 5), np.float32)
     elif match_source == "analytic":
-        # analytic "matches": project probe surface points seen in both views
-        obj_matches = np.zeros((n_train, n_matches, 5), np.float32)
-        scene_matches = np.zeros((n_train, n_matches, 5), np.float32)
-        for i in range(n_train):
-            j = pair_j[i]
-            for pack, on_cube in ((obj_matches, True), (scene_matches, False)):
-                pts3d = _sample_visible_points(rng, n_matches * 4, cube_half, on_cube, depths[j],
-                                               poses_w2c[j], K, H, W, probe=probe)
-                # project into both views, keep in-bounds
-                def proj(pose, pts):
-                    pc = pts @ pose[:, :3].T + pose[:, 3]
-                    return pc[:, :2] / pc[:, 2:], pc[:, 2]
-                p_j, z_j = proj(poses_w2c[j], pts3d)
-                p_i, z_i = proj(poses_w2c[i], pts3d)
-                px_j = p_j @ K[:2, :2].T + K[:2, 2]
-                px_i = p_i @ K[:2, :2].T + K[:2, 2]
-                ok = ((px_j >= 1) & (px_j <= [W - 2, H - 2])).all(1) & \
-                     ((px_i >= 1) & (px_i <= [W - 2, H - 2])).all(1) & (z_i > 0.1) & (z_j > 0.1)
-                # co-visibility: the point must be the FIRST surface hit in BOTH
-                # views (a real matcher only pairs mutually visible points; an
-                # occluded-in-j point would hand PnP a wrong 3D anchor)
-                ok &= _visible_in(px_j, z_j, depths[j]) & _visible_in(px_i, z_i, depths[i])
-                sel = np.where(ok)[0][:n_matches]
-                m = len(sel)
-                pack[i, :m, 0:2] = px_j[sel]   # pixels in paired (previous) view
-                pack[i, :m, 2:4] = px_i[sel]   # pixels in current view
-                pack[i, :m, 4] = 1.0
+        obj_matches = np.stack([analytic_pack(pair_j[i], i, True)
+                                for i in range(n_train)])
+        scene_matches = np.stack([analytic_pack(pair_j[i], i, False)
+                                  for i in range(n_train)])
+        ba_matches = np.stack([analytic_pack(j, i, False)
+                               for j, i in skip_pairs]) if len(skip_pairs) else \
+            np.zeros((0, n_matches, 5), np.float32)
     else:
         raise ValueError(f"unknown match_source: {match_source!r}")
     if match_noise_px > 0 or match_outlier_frac > 0:
-        corrupt_match_packs(rng, obj_matches, H, W,
-                            noise_px=match_noise_px,
-                            outlier_frac=match_outlier_frac)
-        corrupt_match_packs(rng, scene_matches, H, W,
-                            noise_px=match_noise_px,
-                            outlier_frac=match_outlier_frac)
+        for packs in (obj_matches, scene_matches, ba_matches):
+            corrupt_match_packs(rng, packs, H, W,
+                                noise_px=match_noise_px,
+                                outlier_frac=match_outlier_frac)
 
     samplers = base.build_semantic_samplers(masks[:n_train])
     # probe bbox sized so the cube SDF init (rect = span/(1.25*1.05)) matches
@@ -324,6 +341,7 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 4, H: int = 64, W: int 
         xyz_min=np.array([-margin] * 3, np.float32),
         xyz_max=np.array([margin] * 3, np.float32),
         obj_matches=obj_matches, scene_matches=scene_matches, pair_j=pair_j,
+        ba_matches=ba_matches, ba_pairs=skip_pairs,
         samplers=samplers, inverse_y=True,
         # rays use the K^-1 [x, y, 1] convention (camera-z = 1), so the ray
         # parameter t IS camera-z — same convention as the scene renderer's

@@ -618,6 +618,57 @@ class JointTrainer:
         self.state.pose_params = dict(self.state.pose_params,
                                       se3_refine=jnp.asarray(refine))
 
+    def _ba_steps(self) -> tuple:
+        return tuple(int(r * self.cfg.scene_model.max_iter)
+                     for r in self.cfg.camera.ba_at_ratios)
+
+    def polish_poses_ba(self) -> dict:
+        """Match-based bundle-adjustment pose polish (host event).
+
+        See `pose_init/ba.py`: triangulate the load-time match packs (chain
+        scene+object pairs plus (i-2, i) skip pairs for scale chaining) from
+        the current poses, LM-refine every non-anchor active view, write the
+        polished poses into `poses_pnp`, and restart the refinement rows from
+        zero (exactly the `reregister_poses` handoff). Unlike scene-depth
+        re-registration, the matches cannot co-adapt to wrong poses, so this
+        attacks the activation-injected translation plateau directly.
+        """
+        from ..pose_init import ba as ba_mod
+
+        n_act = self.state.n_active
+        packs, pairs = [], []
+        for i in range(1, self.n_train):
+            j = int(np.asarray(self.pair_j)[i])
+            packs.append(np.asarray(self.scene_matches[i]))
+            pairs.append((j, i))
+            packs.append(np.asarray(self.obj_matches[i]))
+            pairs.append((j, i))
+        if self.data.ba_matches is not None and len(self.data.ba_matches):
+            for pack, ab in zip(self.data.ba_matches, self.data.ba_pairs):
+                packs.append(np.asarray(pack))
+                pairs.append((int(ab[0]), int(ab[1])))
+        obs = ba_mod.observations_from_packs(packs, pairs, n_act)
+        cur = self.current_pose_host()
+        polished, info = ba_mod.polish_poses_matches(
+            cur[:n_act], np.asarray(self.Ks)[:n_act],
+            obs, fix_first=self._fix_first_pose)
+        if not info["applied"]:
+            print(f"[ba {self.state.step}] polish skipped: {info}")
+            return info
+        poses_pnp = np.asarray(self.state.poses_pnp).copy()
+        poses_pnp[:n_act] = polished
+        self.state.poses_pnp = jnp.asarray(poses_pnp)
+        refine = np.asarray(self.state.pose_params["se3_refine"]).copy()
+        refine[:n_act] = 0.0
+        self.state.pose_params = dict(self.state.pose_params,
+                                      se3_refine=jnp.asarray(refine))
+        moved = float(np.abs(polished - cur[:n_act]).max())
+        print(f"[ba {self.state.step}] polished {n_act} poses from "
+              f"{len(obs)} pair packs: med reproj "
+              f"{info['med_reproj_px']:.2f} px, {info['rounds']} rounds, "
+              f"max pose delta {moved:.4f}")
+        return info
+
     def maybe_activate_view(self, step: int) -> None:
         """Incremental activation + PnP of the newly added view (host event)."""
         cfg = self.cfg
@@ -855,6 +906,7 @@ class JointTrainer:
         cands += [s for s in self._pg_scale if s > step]  # maybe_pg_scale
         if cfg.camera.reregister_at_ratio is not None:
             cands.append(int(cfg.camera.reregister_at_ratio * cfg.scene_model.max_iter))
+        cands += [s for s in self._ba_steps() if s > step]  # polish_poses_ba
         if cfg.object_model.use_maskcache and step <= ot.N_iters + ot.maskcache_update_every:
             upd = ot.maskcache_update_every
             cands.append(((step // upd) + 1) * upd)     # refresh_maskcache
@@ -878,6 +930,8 @@ class JointTrainer:
             self.maybe_pg_scale(step)
             if step == rereg_at and step > 0:
                 self.reregister_poses()
+            if step > 0 and step in self._ba_steps():
+                self.polish_poses_ba()
             if (self.cfg.object_model.use_maskcache and step > 0
                     and step <= ot.N_iters + ot.maskcache_update_every
                     and step % ot.maskcache_update_every == 0):

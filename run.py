@@ -106,6 +106,11 @@ def parse_args():
     p.add_argument("--pnp_anchor", type=str, default="",
                    choices=["", "object", "scene", "object_scaled"],
                    help="activation-time PnP 3D-anchor source (see PnPConfig)")
+    p.add_argument("--pose_ba", type=str, default="",
+                   help="comma-separated max_iter ratios at which to run the "
+                        "match-based bundle-adjustment pose polish "
+                        "(CameraConfig.ba_at_ratios; try 0.25,0.45 — inside "
+                        "the pose window so joint training absorbs the snap)")
     p.add_argument("--reregister", type=float, default=0.0,
                    help="re-register all poses against scene depth at this "
                         "ratio of max_iter (CameraConfig.reregister_at_ratio)")
@@ -280,6 +285,11 @@ def main():
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,
                                             reregister_at_ratio=args.reregister))
+    if args.pose_ba:
+        cfg = dataclasses.replace(
+            cfg, camera=dataclasses.replace(
+                cfg.camera, ba_at_ratios=tuple(
+                    float(r) for r in args.pose_ba.split(","))))
     if args.pose_warmup:
         cfg = dataclasses.replace(
             cfg, camera=dataclasses.replace(cfg.camera,
