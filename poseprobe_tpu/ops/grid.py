@@ -270,7 +270,12 @@ def _trilinear_value_bwd(res, ct):
     gy = (v_dot_ct * Wx_z * jnp.where(_SIGN_Y > 0, 1.0, -1.0)).sum(-1, keepdims=True) * scale[1] * my
     gz = (v_dot_ct * Wx_y * jnp.where(_SIGN_Z > 0, 1.0, -1.0)).sum(-1, keepdims=True) * scale[2] * mz
     d_pts = jnp.concatenate([gx, gy, gz], -1)
-    return d_grid, d_pts, jnp.zeros(3, ct.dtype), jnp.zeros(3, ct.dtype)
+    # bounds cotangents are structural zeros, but built FROM `scale` (a
+    # function of the bounds) so they inherit its vma type: under shard_map
+    # with varying bounds (grid-TP), plain jnp.zeros would fail the custom
+    # VJP's varying-axes check
+    d_bounds = (scale * 0).astype(ct.dtype)
+    return d_grid, d_pts, d_bounds, d_bounds
 
 
 _trilinear_value.defvjp(_trilinear_value_fwd, _trilinear_value_bwd)
@@ -486,7 +491,9 @@ def _trilinear_vg_bwd(res, cts):
             + (v_ct_gx * _SIGN_X * _SIGN_Z * AY).sum(-1, keepdims=True) * sxm
             + (v_ct_gy * _SIGN_Y * _SIGN_Z * AX).sum(-1, keepdims=True) * sym)
     d_pts = jnp.concatenate([d_wx * sxm, d_wy * sym, d_wz * szm], -1)
-    return d_grid, d_pts, jnp.zeros(3, ct_v.dtype), jnp.zeros(3, ct_v.dtype)
+    # structural zeros that inherit `scale`'s vma type (see _trilinear_value_bwd)
+    d_bounds = (scale * 0).astype(ct_v.dtype)
+    return d_grid, d_pts, d_bounds, d_bounds
 
 
 _trilinear_vg.defvjp(_trilinear_vg_fwd, _trilinear_vg_bwd)

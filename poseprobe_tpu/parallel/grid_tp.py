@@ -46,6 +46,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import grid as grid_ops
+from .mesh import DATA_AXIS
 
 GRID_AXIS = "grid"
 
@@ -115,6 +116,14 @@ def sample_grid_tp(grid: jnp.ndarray, xyz: jnp.ndarray,
         pts = jax.lax.pcast(pts, GRID_AXIS, to="varying")
         lo = jax.lax.pcast(lo, GRID_AXIS, to="varying")
         hi = jax.lax.pcast(hi, GRID_AXIS, to="varying")
+        if data_sharded_points:
+            # the grid (replicated over 'data') feeds data-varying math; the
+            # pcast's transpose is the psum over 'data' that assembles the
+            # grid cotangent from every ray shard — without it the shard_map
+            # transpose cannot statically prove the grid grad replicated
+            gl = jax.lax.pcast(gl, DATA_AXIS, to="varying")
+            lo = jax.lax.pcast(lo, DATA_AXIS, to="varying")
+            hi = jax.lax.pcast(hi, DATA_AXIS, to="varying")
         s = jax.lax.axis_index(GRID_AXIS)
         gext = _halo_extend(gl, GRID_AXIS, G)
         vz = (hi[2] - lo[2]) / (Z - 1)

@@ -38,7 +38,15 @@ def shard_rays(x: jnp.ndarray, mesh: Mesh | None, axis: int = 0) -> jnp.ndarray:
         return x
     spec = [None] * x.ndim
     spec[axis] = DATA_AXIS
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+    sharding = NamedSharding(mesh, P(*spec))
+    if isinstance(x, jax.core.Tracer):  # inside jit: a layout constraint
+        return jax.lax.with_sharding_constraint(x, sharding)
+    # eager (e.g. chunked eval renders): place the committed array so the
+    # jitted callee's GSPMD partitioning picks the sharding up from the input;
+    # a ragged tail chunk stays unsharded (NamedSharding needs divisibility)
+    if x.shape[axis] % mesh.devices.size != 0:
+        return x
+    return jax.device_put(x, sharding)
 
 
 def replicated(x, mesh: Mesh | None):

@@ -1014,8 +1014,13 @@ class JointTrainer:
         progress = min(self.state.step / sm.max_iter, 1.0)
         for c in range(0, self.H * self.W, chunk):
             sl = slice(c, min(c + chunk, self.H * self.W))
+            # full-image eval rides the same ray-DP mesh as training: each
+            # chunk's rays sharded over ('data',), params replicated (no-op
+            # single-chip)
             rets = scene_nerf.render_rays(
-                self.state.scene_params, sm, center[:, sl], ray[:, sl],
+                self.state.scene_params, sm,
+                mesh_mod.shard_rays(center[:, sl], self.mesh, axis=1),
+                mesh_mod.shard_rays(ray[:, sl], self.mesh, axis=1),
                 (self.data.near, self.data.far), progress=progress, rng=None,
                 compute_fine=use_fine, mode_train=False)
             for k in outs:

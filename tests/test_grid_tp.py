@@ -124,3 +124,87 @@ def test_indivisible_z_raises():
         grid_tp.sample_grid_tp(grid, pts, lo, hi, mesh)
     with pytest.raises(ValueError, match="not divisible"):
         grid_tp.shard_grid(grid, mesh)
+
+
+class TestObjectStepTP:
+    """End-to-end object-branch step with Z-sharded grids (parallel/object_tp):
+    render -> NeuS alpha -> composite -> loss -> grads INTO the sharded grids
+    must match the identical pipeline on replicated grids."""
+
+    def _inputs(self, G=16, R=48, C=6):
+        rng = np.random.RandomState(0)
+        xs = np.linspace(-0.5, 0.5, G, dtype=np.float32)
+        X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+        d = np.maximum.reduce([np.abs(X), np.abs(Y), np.abs(Z)]) - 0.3
+        sdf = jnp.asarray(d[None])
+        k0 = jnp.asarray(rng.randn(C, G, G, G).astype(np.float32) * 0.05)
+        rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (R, 1))
+        ang = rng.uniform(-0.25, 0.25, (R, 2)).astype(np.float32)
+        rays_d = jnp.stack([jnp.tan(ang[:, 0]), jnp.tan(ang[:, 1]),
+                            jnp.ones(R)], axis=-1)
+        tgt = jnp.asarray(rng.rand(R, 3).astype(np.float32))
+        msk = jnp.asarray((np.abs(ang) < 0.15).all(1).astype(np.float32))
+        return sdf, k0, rays_o, rays_d, tgt, msk
+
+    def _reference_step(self, sdf_grid, k0_grid, rays_o, rays_d, tgt, msk,
+                        lr=1e-2):
+        """Same pipeline with plain replicated `ops.grid.trilinear_sample`."""
+        from poseprobe_tpu.ops import compositing
+        near, far, S = 1.0, 3.5, 32
+        lo = jnp.asarray((-0.5,) * 3)
+        hi = jnp.asarray((0.5,) * 3)
+        t = jnp.linspace(near, far, S, dtype=jnp.float32)
+        pts = rays_o[:, None] + rays_d[:, None] * t[None, :, None]
+        dist = float((far - near) / (S - 1))
+        vox = 1.0 / (sdf_grid.shape[1] - 1)
+        eps = vox * 0.5
+
+        def loss_fn(grids):
+            def samp(p):
+                return grid_ops.trilinear_sample(grids["sdf"], p, lo, hi)[..., 0]
+            sdf = samp(pts)
+            grads = jnp.stack(
+                [(samp(pts + jnp.eye(3, dtype=pts.dtype)[a] * eps)
+                  - samp(pts - jnp.eye(3, dtype=pts.dtype)[a] * eps))
+                 / (2 * eps) for a in range(3)], -1)
+            vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            alpha = compositing.neus_alpha_from_sdf(vd[:, None], dist, sdf,
+                                                    grads, 0.05)
+            inb = jnp.all((pts >= lo) & (pts <= hi), -1)
+            alpha = jnp.where(inb, alpha, 0.0)
+            w, _ = compositing.alpha2weights(alpha)
+            feat = grid_ops.trilinear_sample(grids["k0"], pts, lo, hi)
+            rgb = jax.nn.sigmoid(feat[..., :3])
+            marched = jnp.sum(w[..., None] * rgb, 1)
+            op = jnp.clip(jnp.sum(w, 1), 1e-6, 1 - 1e-6)
+            mse = jnp.mean((marched - tgt) ** 2)
+            bce = -jnp.mean(msk * jnp.log(op) + (1 - msk) * jnp.log(1 - op))
+            return mse + 0.01 * bce
+
+        loss, grads = jax.value_and_grad(loss_fn)(
+            {"sdf": sdf_grid, "k0": k0_grid})
+        return (sdf_grid - lr * grads["sdf"], k0_grid - lr * grads["k0"],
+                loss)
+
+    @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+    def test_step_parity_with_replicated(self, mesh_shape):
+        from poseprobe_tpu.parallel import object_tp
+        sdf, k0, ro, rd, tgt, msk = self._inputs()
+        mesh = grid_tp.make_grid_mesh(*mesh_shape)
+        sdf_s = grid_tp.shard_grid(sdf, mesh)
+        k0_s = grid_tp.shard_grid(k0, mesh)
+        new_sdf, new_k0, m = jax.jit(
+            lambda s, k: object_tp.train_step_tp(
+                s, k, ro, rd, tgt, msk, near=1.0, far=3.5, n_samples=32,
+                xyz_min=(-0.5,) * 3, xyz_max=(0.5,) * 3, s_val=0.05,
+                mesh=mesh))(sdf_s, k0_s)
+        ref_sdf, ref_k0, ref_loss = self._reference_step(sdf, k0, ro, rd,
+                                                         tgt, msk)
+        assert abs(float(m["loss"]) - float(ref_loss)) < 1e-5
+        np.testing.assert_allclose(np.asarray(new_sdf), np.asarray(ref_sdf),
+                                   rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(new_k0), np.asarray(ref_k0),
+                                   rtol=2e-4, atol=2e-6)
+        # the update kept the TP layout (no silent host gather/replication)
+        assert new_sdf.sharding.shard_shape(new_sdf.shape)[-1] \
+            == sdf.shape[-1] // mesh_shape[1]
