@@ -156,14 +156,32 @@ def main():
             # SDF is unconstrained outside the training views' visual hull,
             # and the GT back side was never observed — neither is scored.
             tr = data.i_train
-            hull = lambda p: dtu_protocol.visual_hull_cull(
-                p, data.masks[tr], data.poses_gt_w2c[tr], data.Ks[tr])
+
+            def pred_cull(p):
+                # visual hull AND observed space: the hull alone cannot
+                # remove junk in the probe's occluded shadow cone (it
+                # projects inside the silhouette in every view yet was never
+                # supervised by any ray) — that region is exactly what DTU's
+                # ObsMask excludes (`observed_space_cull` docstring).
+                # Measured on r4_3view_classical: hull-only chamfer 0.153
+                # with ~50% of raw mesh area behind the probe.
+                keep = dtu_protocol.visual_hull_cull(
+                    p, data.masks[tr], data.poses_gt_w2c[tr], data.Ks[tr])
+                if data.depth_gt is not None:
+                    # tol 0.1: at 3 views a tight tolerance over-culls real
+                    # surface seen only at grazing angles (s2d 0.234 at 0.05
+                    # vs 0.182 at 0.1 on the same mesh, junk removal equal)
+                    keep &= dtu_protocol.observed_space_cull(
+                        p, data.depth_gt[tr], data.poses_gt_w2c[tr],
+                        data.Ks[tr], tol=0.1)
+                return keep
+
             seen = (None if data.depth_gt is None else
                     (lambda p: dtu_protocol.visible_in_any_view(
                         p, data.depth_gt[tr], data.poses_gt_w2c[tr], data.Ks[tr])))
             chamfer = dtu_protocol.evaluate_mesh_dtu(
                 verts_gt, tris, gt_pts, bbox=bbox, max_dist=0.5,
-                pred_cull=hull, gt_cull=seen)
+                pred_cull=pred_cull, gt_cull=seen)
             chamfer["sim3_scale"] = sim3.s
             print("[eval] synthetic GT chamfer (world units):", chamfer)
             with open(os.path.join(out_dir, "chamfer.json"), "w") as f:
