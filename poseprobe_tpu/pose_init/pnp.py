@@ -33,8 +33,26 @@ def pnp_from_matches(
     inverse_y: bool,
     near: float,
     far: float,
+    extra_packs=None,           # additional [M, 5] packs for the E estimate
+    essential_gate_deg: float = 0.0,
 ) -> np.ndarray:
-    """Estimate w2c pose [3, 4] of the current view. Returns prev pose on failure."""
+    """Estimate w2c pose [3, 4] of the current view. Returns prev pose on failure.
+
+    ``essential_gate_deg > 0`` (experimental, DEFAULT OFF) cross-checks the
+    PnP solve against the essential-matrix relative rotation over the match
+    packs (`relpose.apply_essential_guard`). Measured on the synthetic
+    protocol this HURTS: the background wall makes the match set
+    near-planar, where E estimation is itself degenerate (14.6 deg rotation
+    error on CLEAN matches with 121/128 RANSAC inliers, pair 0-1). Kept for
+    non-planar scenes; see relpose.py for the measured failure analysis.
+    Note the deeper finding: PnP pose error at this protocol's scale is
+    CONDITIONING-limited, not outlier-limited — with EXACT analytic anchors
+    and only 0.25 px of current-view pixel noise the solve is already
+    ~4.7 deg off (86 anchors): the probe spans ~25 px of a 64 px image, and
+    a small angular constellation amplifies pixel noise into degrees. Real
+    runs manage it with higher resolution (the probe spans ~2x more pixels
+    at 128) plus the trainer's photometric machinery.
+    """
     import jax.numpy as jnp
 
     coord_prev = match_pack[:, 0:2]
@@ -53,7 +71,22 @@ def pnp_from_matches(
         return prev_pose_w2c.copy()
     world_pts = pts[valid].astype(np.float64)
     img_pts = coord_cur[valid].astype(np.float64)
-    return solve_pnp(world_pts, img_pts, K, prev_pose_w2c)
+    pose = solve_pnp(world_pts, img_pts, K, prev_pose_w2c)
+    if essential_gate_deg > 0:
+        from . import relpose
+
+        packs = [match_pack] + list(extra_packs or [])
+        pose, ginfo = relpose.apply_essential_guard(
+            pose, np.asarray(prev_pose_w2c), packs, K, world_pts, img_pts,
+            gate_deg=essential_gate_deg)
+        if LAST_QUALITY is not None:
+            LAST_QUALITY["essential_guard"] = ginfo
+            if ginfo["applied"]:
+                # the E rotation invalidates the PnP solve's self-reported
+                # quality; recompute on the corrected pose
+                LAST_QUALITY["med_reproj_px"] = _median_reproj_err(
+                    pose, world_pts, img_pts, K)
+    return pose
 
 
 def pnp_from_matches_scalefixed(
@@ -337,7 +370,11 @@ def initialize_poses_pnp(
             poses.append(poses[idx - 1].copy())
             continue
         i = data.i_train[idx]
+        extra = None
+        if data.scene_matches is not None:
+            extra = [np.asarray(data.scene_matches[idx])]
         poses.append(pnp_from_matches(
             obj_params, obj_cfg, data.obj_matches[idx], data.Ks[i], poses[idx - 1],
-            inverse_y=data.inverse_y, near=data.near, far=data.far))
+            inverse_y=data.inverse_y, near=data.near, far=data.far,
+            extra_packs=extra))
     return np.stack(poses)

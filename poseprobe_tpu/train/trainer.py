@@ -706,7 +706,8 @@ class JointTrainer:
                 self.state.obj_params, cfg.object_model,
                 np.asarray(self.obj_matches[new_idx]), np.asarray(self.Ks[new_idx]),
                 cur[new_idx - 1], inverse_y=self.data.inverse_y,
-                near=self.data.near, far=self.data.far)
+                near=self.data.near, far=self.data.far,
+                extra_packs=[np.asarray(self.scene_matches[new_idx])])
         else:
             # no-PnP protocols seed from poses_pnp = noise∘GT (reference
             # `get_current_pose`, `recon_scene.py:51-59`)

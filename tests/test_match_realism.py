@@ -189,3 +189,29 @@ class TestPnPUnderNoise:
         for q in noisy_q:
             assert q["med_reproj_px"] > 1.0
             assert q["n_pts"] >= 30
+
+
+class TestEssentialRelpose:
+    """Experimental essential-matrix guard (pose_init/relpose.py):
+    exact on well-posed pairs, DOCUMENTED-degenerate under the protocol's
+    dominant background plane (guard default-off in pnp_from_matches)."""
+
+    def test_recovers_relative_rotation_on_good_pair(self):
+        from poseprobe_tpu.pose_init import relpose
+        d = synthetic.make_synthetic_scene(n_train=3, n_test=0, H=64, W=64,
+                                           seed=0, n_matches=128)
+        # pair (1, 2) measured well-posed for E on this draw
+        gt_prev = d.poses_gt_w2c[d.i_train[1]].astype(np.float64)
+        gt_cur = d.poses_gt_w2c[d.i_train[2]].astype(np.float64)
+        R_gt = gt_cur[:, :3] @ gt_prev[:, :3].T
+        R, t, n = relpose.essential_relative_pose(
+            [d.obj_matches[2], d.scene_matches[2]], d.Ks[0])
+        assert R is not None and n > 50
+        assert relpose.rotation_angle_deg(R, R_gt) < 0.5
+
+    def test_guard_defaults_off_in_pnp(self):
+        import inspect
+
+        from poseprobe_tpu.pose_init import pnp as pnp_mod
+        sig = inspect.signature(pnp_mod.pnp_from_matches)
+        assert sig.parameters["essential_gate_deg"].default == 0.0
