@@ -563,6 +563,9 @@ class JointTrainer:
         if self.state.step <= self.cfg.object_train.N_iters:
             self.mask_arr = jnp.ones(self.state.obj_params["sdf_grid"].shape[1:], bool)
             self._mask_k = self._k_phase
+            if self.state.step > 0:
+                # joint refinement drifts poses between refreshes too
+                self.update_plastic_chord_k()
             return
         s_val = float(compositing.s_val_schedule(
             min(self.state.step, om.N_iters), om.s_ratio, om.s_start, om.step_start))
@@ -621,6 +624,40 @@ class JointTrainer:
     def _ba_steps(self) -> tuple:
         return tuple(int(r * self.cfg.scene_model.max_iter)
                      for r in self.cfg.camera.ba_at_ratios)
+
+    def update_plastic_chord_k(self) -> None:
+        """Re-bound the plastic-phase chord K for the CURRENT poses.
+
+        The init-time bound (GT + PnP seeds + 6-lane margin) is NOT
+        invariant under training: an activation warmup can accept a pose
+        with a large transient translation excursion (observed t x100 up to
+        58, queue1 6-view logs), moving a camera close enough that its
+        in-bbox chords exceed K — far samples then silently truncate, the
+        probe's far side starves, and the mask-BCE/render losses carve the
+        SDF empty (r4 6-view collapse: frac_neg -> 0 by the phase end;
+        bisect: n_test=4 scene + maskcache collapses, maskcache-off
+        recovers, r4_diag6_* TPU runs). Called from every host pose event;
+        K only GROWS (monotone: one recompile per bump, no thrash) and is
+        ceiling-ed by the dense budget."""
+        om = self.cfg.object_model
+        if not om.use_maskcache or self._k_phase is None:
+            return
+        if self.state.step > self.cfg.object_train.N_iters:
+            return
+        from ..ops import maskcache as maskcache_mod
+
+        poses = np.concatenate([np.asarray(self.poses_gt),
+                                self.current_pose_host()], axis=0)
+        Ks = np.concatenate([np.asarray(self.Ks)] * 2, axis=0)
+        k = min(om.n_samples, maskcache_mod.max_inbbox_lanes(
+            poses, Ks, self.H, self.W, om.xyz_min_np, om.xyz_max_np,
+            om.stepsize * om.voxel_size))
+        if k > self._k_phase:
+            print(f"[maskcache {self.state.step}] plastic chord K "
+                  f"{self._k_phase} -> {k} (pose drift re-bound)")
+            self._k_phase = k
+            if self._mask_k is not None:
+                self._mask_k = k
 
     def polish_poses_ba(self) -> dict:
         """Match-based bundle-adjustment pose polish (host event).
@@ -832,6 +869,9 @@ class JointTrainer:
         poses_pnp[new_idx] = new_pose
         self.state.poses_pnp = jnp.asarray(poses_pnp)
         self.state.n_active += 1
+        # the settled pose may sit far from the init-time camera set; keep
+        # the plastic-phase chord K sound for it (see update_plastic_chord_k)
+        self.update_plastic_chord_k()
 
     def _log_activation_error(self, step, new_idx, cur, new_pose, tag) -> None:
         """Print the activated view's RELATIVE pose error vs GT (gauge-free).
