@@ -392,25 +392,23 @@ def corrupt_match_packs(rng, packs: np.ndarray, H: int, W: int,
 
 
 def _visible_in(px: np.ndarray, z_cam: np.ndarray, depth_map: np.ndarray,
-                tol: float = 0.02) -> np.ndarray:
+                tol: float = 0.03) -> np.ndarray:
     """True where the camera-z depth agrees with the first-hit depth map.
 
-    depth_map stores the ray parameter t for unit-norm rays through pixel
-    centers; convert to camera z before comparing.
+    depth_map stores the ray PARAMETER t of rays cast with the
+    K^-1 [x, y, 1] convention — the camera-frame direction has z = 1, so t
+    IS the camera z of the hit point (the SceneData.depth_gt contract).
+    An earlier version divided t by the unit-direction norm as if the maps
+    stored metric ray length; that rejected every off-center candidate
+    (the mismatch grows ~quadratically with pixel eccentricity), silently
+    confining the SCENE match packs to the central ~20 px — the corres
+    loss never saw the outer wall. Measured: scene packs x∈[24,42] before,
+    full-frame after.
     """
     H, W = depth_map.shape
     xi = np.clip(px[:, 0].astype(int), 0, W - 1)
     yi = np.clip(px[:, 1].astype(int), 0, H - 1)
-    t = depth_map[yi, xi]
-    # unit ray direction z-component in the camera frame (K from the caller's
-    # scope would be cleaner, but the maps were built with pixel-center rays)
-    # reconstruct using the pixel offsets implied by the map's own geometry:
-    # z = t / |dir| with dir = ((x+0.5-cx)/f, (y+0.5-cy)/f, 1)
-    cx, cy = W / 2.0, H / 2.0
-    f = 0.9 * W
-    dx = (xi + 0.5 - cx) / f
-    dy = (yi + 0.5 - cy) / f
-    z_map = t / np.sqrt(dx**2 + dy**2 + 1.0)
+    z_map = depth_map[yi, xi]
     return np.abs(z_cam - z_map) < tol * np.maximum(z_map, 1.0)
 
 
