@@ -40,11 +40,11 @@ REFERENCE_RAYS_PER_SEC = 4096.0  # see module docstring
 # per-phase "phases_measured" list so a stale number can never pass as
 # fresh (round-3 verdict #1).
 COMMITTED_TPU = {
-    "value": 42327.0,
-    "early_ms": 49.5,
-    "coarse_ms": 7.4,
-    "mid_ms": 27.1,
-    "source": "PERFORMANCE.md bench_chord 2026-08-20 (TPU v5e)",
+    "value": 42268.0,
+    "early_ms": 49.56,
+    "coarse_ms": 7.35,
+    "mid_ms": 27.18,
+    "source": "PERFORMANCE.md round-4 full-fresh bench 2026-08-20 (TPU v5e)",
 }
 
 
