@@ -47,6 +47,22 @@ COMMITTED_TPU = {
     "source": "PERFORMANCE.md round-4 full-fresh bench 2026-08-20 (TPU v5e)",
 }
 
+# Workload constants shared by build_trainer() and the provisional/fallback
+# result lines (BASELINE.md scale: 96^3 grid, 1024+1024 rays, 128+128
+# samples, 60k schedule). The provisional lines previously hard-coded these
+# separately and would silently drift if the config changed (round-4 advisor).
+N_ITERS = 10000          # object-phase length
+MAX_ITER = 60000         # scene schedule length
+FINE_START_RATIO = 0.3   # fine sampling + depth_cons onset
+OBJ_RAYS = 1024
+SCENE_RAYS = 1024
+
+
+def default_cfg_phases():
+    """(n_iters, fine_start, max_iter, obj_rays, scene_rays) at full scale."""
+    return (N_ITERS, int(MAX_ITER * FINE_START_RATIO), MAX_ITER,
+            OBJ_RAYS, SCENE_RAYS)
+
 
 def _emit(result: dict) -> None:
     """Print one JSON line and flush immediately.
@@ -83,18 +99,18 @@ def build_trainer(small: bool = False, matmul_dtype: str = "bfloat16"):
         object_model=ObjectConfig(
             xyz_min=(-margin,) * 3, xyz_max=(margin,) * 3,
             num_voxels=grid**3, num_voxels_base=grid**3,
-            N_iters=10000, world_bound_scale=1.25,
+            N_iters=N_ITERS, world_bound_scale=1.25,
             use_maskcache=True),  # free-space skipping, on in the DTU presets
-        object_train=cfg_mod.ObjectTrainConfig(N_iters=10000,
-                                               N_rand=256 if small else 1024),
+        object_train=cfg_mod.ObjectTrainConfig(N_iters=N_ITERS,
+                                               N_rand=256 if small else OBJ_RAYS),
         scene_model=SceneConfig(
-            rand_rays=256 if small else 1024,
+            rand_rays=256 if small else SCENE_RAYS,
             sample_intvs=32 if small else 128,
             sample_intvs_fine=32 if small else 128,
-            max_iter=60000, fine_sampling=True,
-            ratio_start_fine_sampling_at_x=0.3,
+            max_iter=MAX_ITER, fine_sampling=True,
+            ratio_start_fine_sampling_at_x=FINE_START_RATIO,
             matmul_dtype=matmul_dtype),
-        scene_train=cfg_mod.SceneTrainConfig(max_iter=60000),
+        scene_train=cfg_mod.SceneTrainConfig(max_iter=MAX_ITER),
     )
     return JointTrainer(cfg, data)
 
@@ -261,14 +277,14 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
         committed = [COMMITTED_TPU["early_ms"] / 1e3,
                      COMMITTED_TPU["coarse_ms"] / 1e3,
                      COMMITTED_TPU["mid_ms"] / 1e3]
-        cfg_phases = (10000, 18000, 60000, 1024, 1024)
+        cfg_phases = default_cfg_phases()
         _emit(_result_line(cfg_phases, committed, [], {
             "tpu_unreachable": True,
             "measured": False,
             "device": "unreachable (last committed: TPU v5e)",
-            "note": ("TPU tunnel unreachable after one 90 s probe; value is "
-                     "the last committed TPU measurement (%s), NOT fresh. "
-                     "CPU cross-check follows if the deadline allows."
+            "note": ("TPU tunnel unreachable after 2 probe attempts x 75 s; "
+                     "value is the last committed TPU measurement (%s), NOT "
+                     "fresh. CPU cross-check follows if the deadline allows."
                      % COMMITTED_TPU["source"]),
         }))
         if time.time() - t_wall0 > deadline_s - 240:
@@ -291,7 +307,7 @@ def main(small: bool = False, warmup: int = 3, iters: int = 20,
         committed0 = [COMMITTED_TPU["early_ms"] / 1e3,
                       COMMITTED_TPU["coarse_ms"] / 1e3,
                       COMMITTED_TPU["mid_ms"] / 1e3]
-        _emit(_result_line((10000, 18000, 60000, 1024, 1024), committed0, [], {
+        _emit(_result_line(default_cfg_phases(), committed0, [], {
             "partial": True, "measured": False,
             "note": ("provisional pre-compile line; all phases are the last "
                      "committed TPU values (%s)" % COMMITTED_TPU["source"]),

@@ -48,11 +48,16 @@ def main():
                     help="bwd kernel: pre-transposed weights for the dx GEMMs")
     ap.add_argument("--interleave", type=int, default=1,
                     help="independent sub-chains per tile (MXU/VPU overlap)")
+    ap.add_argument("--ckpt", type=int, default=-1,
+                    help="activation checkpoint stride (0 remat, 1 store all, "
+                         "k>=2 every k-th); -1 = sweep 0/1/2 and report")
     args = ap.parse_args()
     if args.tile:
         fused_mlp.TILE = args.tile
     fused_mlp.BWD_WT = args.wt
     fused_mlp.INTERLEAVE = args.interleave
+    if args.ckpt >= 0:
+        fused_mlp.TRUNK_CKPT = args.ckpt
 
     cfg = SceneConfig(matmul_dtype="bfloat16")
     skip = cfg.skip[0]
@@ -105,8 +110,22 @@ def main():
         return dt
 
     t_x = timeit(vgx, "xla  ")
-    t_f = timeit(vgf, "fused")
-    print(f"[speedup] {t_x / t_f:.2f}x  (n={args.n}, {jax.devices()[0].device_kind})")
+    if args.ckpt >= 0:
+        t_f = timeit(vgf, "fused")
+        print(f"[speedup] {t_x / t_f:.2f}x  (n={args.n}, ckpt={args.ckpt}, "
+              f"{jax.devices()[0].device_kind})")
+    else:
+        # sweep the activation-store variants (round-5 lever: trade remat
+        # matmul passes for pipelined HBM activation traffic)
+        for ck in (0, 1, 2):
+            def loss_ck(params, enc, _ck=ck):
+                raw, feat = fused_mlp.fused_trunk(enc, params, skip, ckpt=_ck)
+                return (jax.nn.softplus(raw).mean()
+                        + (feat.astype(jnp.float32) ** 2).mean())
+            t_f = timeit(jax.jit(jax.value_and_grad(loss_ck, argnums=(0, 1))),
+                         f"ckpt{ck}")
+            print(f"[speedup] ckpt={ck}: {t_x / t_f:.2f}x  (n={args.n}, "
+                  f"{jax.devices()[0].device_kind})")
 
 
 if __name__ == "__main__":

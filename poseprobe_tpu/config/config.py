@@ -191,6 +191,13 @@ class ObjectTrainConfig:
     lr_pose: float = 0.0
     lr_pose_end: float = 0.0
     ray_sampler: str = "semantic"       # semantic 20/30/50 bg/boundary/object split
+    # default-ON end-of-object-phase probe invariant (round-4 verdict weak #2:
+    # a 20k-step flagship run trained with a fully evaporated probe — frac_neg
+    # 0 by step ~200 — and still "passed"; the probe is the paper's thesis, so
+    # a run where it dies must abort loudly, not count as a pass). The trainer
+    # raises ProbeHealthError at the phase end on the evaporation
+    # (frac_neg ~ 0) or filled-box (frac_neg ~ 1) signatures.
+    probe_health_check: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

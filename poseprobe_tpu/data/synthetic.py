@@ -181,7 +181,7 @@ def _raycast_cube_scene(rays_o, rays_d, half=0.35, bg_dist=3.0, probe="cube",
     return np.clip(rgb, 0, 1), depth, hit
 
 
-def make_synthetic_scene(n_train: int = 3, n_test: int = 4, H: int = 64, W: int = 64,
+def make_synthetic_scene(n_train: int = 3, n_test: int = 6, H: int = 64, W: int = 64,
                          cube_half: float = 0.35, seed: int = 0,
                          n_matches: int = 128,
                          arc_half: float | None = None,
@@ -193,8 +193,9 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 4, H: int = 64, W: int 
                          texture: str = "checker") -> base.SceneData:
     """Build the hermetic scene.
 
-    `n_test` defaults to 4 held-out views so headline PSNRs are not 2-sample
-    statistics (round-3 verdict weak #7).
+    `n_test` defaults to 6 held-out views, evenly interleaved with a
+    separation floor from the train views, so headline PSNRs are robust
+    multi-sample statistics (round-3 weak #7, round-4 weak #6).
 
     Match realism knobs (round-3 verdict missing #1 — every committed
     convergence artifact consumed perfect analytic matches):
@@ -230,12 +231,26 @@ def make_synthetic_scene(n_train: int = 3, n_test: int = 4, H: int = 64, W: int 
         arc_half = min(0.5, 0.125 * (n_train - 1))
     train_angles = np.linspace(-arc_half, arc_half, n_train)
     if n_test > 0 and n_train > 1:
-        mids = 0.5 * (train_angles[:-1] + train_angles[1:])
-        test_angles = np.array([mids[i % len(mids)] for i in range(n_test)])
-        test_angles += rng.normal(0, 0.02, n_test)  # off the exact midpoints
+        # evenly spread the test views over the arc at half-cell offsets so
+        # they interleave the train views with a GUARANTEED angular margin.
+        # The old midpoint-modulo placement + jitter occasionally dropped a
+        # test view next to a train view, whose near-duplicate 42 dB PSNR
+        # inflated the 6-view headline mean ~2 dB (round-4 verdict weak #6).
+        test_angles = (-arc_half
+                       + (np.arange(n_test) + 0.5) * 2 * arc_half / n_test)
+        test_angles += rng.normal(0, 0.01, n_test)
     else:
         test_angles = np.linspace(-0.4, 0.4, max(n_test, 1))[:n_test]
     angles = np.concatenate([train_angles, test_angles]) + rng.normal(0, 0.03, n_views)
+    if n_test > 0 and n_train > 1:
+        # post-jitter separation floor: nudge any test view that landed
+        # within 0.04 rad (~2.3 deg) of a train view toward its own cell
+        min_sep = 0.04
+        for t in range(n_train, n_views):
+            d = angles[t] - angles[:n_train]
+            k = np.argmin(np.abs(d))
+            if np.abs(d[k]) < min_sep:
+                angles[t] = angles[k] + np.copysign(min_sep, d[k] if d[k] != 0 else 1.0)
     radius = 2.6
     images, masks, poses_w2c, depths = [], [], [], []
     for a in angles:

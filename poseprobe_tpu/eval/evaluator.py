@@ -250,7 +250,12 @@ def evaluate_full(
         "rot_error": float(err["R"].mean()),
         "trans_error": float(err["t"].mean()),
         "psnr": float(np.mean(psnrs)),
+        # median alongside mean: a single near-degenerate test view (e.g. one
+        # landing next to a train view) can inflate the mean ~2 dB (round-4
+        # verdict weak #6); the median is robust to one outlier view.
+        "psnr_median": float(np.median(psnrs)),
         "ssim": float(np.mean(ssims)),
+        "ssim_median": float(np.median(ssims)),
         "psnr_per_img": psnrs,
         "ssim_per_img": ssims,
     }

@@ -54,6 +54,23 @@ import os as _os
 
 BWD_WT = _os.environ.get("POSEPROBE_TRUNK_WT", "") == "1"
 INTERLEAVE = int(_os.environ.get("POSEPROBE_TRUNK_INTERLEAVE", "1"))
+# Activation checkpointing stride (round-4 perf lever: the remat backward is
+# exactly 3x fwd = 8 remat + 8 dx + 8 dW passes; storing activations trades
+# remat matmul passes for HBM activation traffic that Pallas's grid pipeline
+# overlaps with the MXU passes):
+#   0 = full remat (store nothing; 7 remat passes since the last layer's
+#       relu' mask now comes from the forward's own `feat` output),
+#   1 = store every hidden activation (no remat passes; max HBM traffic),
+#   k>=2 = store every k-th activation, remat the rest from the nearest
+#       stored predecessor (half the traffic at k=2 for 3 remat passes).
+TRUNK_CKPT = int(_os.environ.get("POSEPROBE_TRUNK_CKPT", "0"))
+
+
+def _stored_layers(L: int, ckpt: int) -> tuple:
+    """Hidden-activation indices (0..L-2) the forward stores for `ckpt`."""
+    if ckpt <= 0:
+        return ()
+    return tuple(range(ckpt - 1, L - 1, ckpt))
 
 
 def _cdiv(a, b):
@@ -64,13 +81,18 @@ def _cdiv(a, b):
 # forward kernel
 
 
-def _fwd_kernel_factory(L: int, skip: int, H: int, nh: int = 1):
+def _fwd_kernel_factory(L: int, skip: int, H: int, nh: int = 1,
+                        stored: tuple = ()):
+    n_stored = len(stored)
+    stored_slot = {l: s for s, l in enumerate(stored)}
+
     def kernel(*refs):
         enc_ref = refs[0]
         w_refs = refs[1:1 + L]
         b_refs = refs[1 + L:1 + 2 * L]
         feat_ref = refs[1 + 2 * L]
         dens_ref = refs[2 + 2 * L]
+        acts_ref = refs[3 + 2 * L] if n_stored else None
 
         x_all = enc_ref[...]  # [T, IN_PAD] bf16
         Th = x_all.shape[0] // nh
@@ -93,24 +115,38 @@ def _fwd_kernel_factory(L: int, skip: int, H: int, nh: int = 1):
                     dens_ref[h * Th:(h + 1) * Th, :] = pre[:, H:]
                 else:
                     a[h] = jax.nn.relu(pre).astype(jnp.bfloat16)
+                    if l in stored_slot:
+                        acts_ref[stored_slot[l], h * Th:(h + 1) * Th, :] = a[h]
 
     return kernel
 
 
-def _trunk_fwd_call(enc, ws, bs, skip, interpret, tile):
+def _trunk_fwd_call(enc, ws, bs, skip, interpret, tile, ckpt=0):
     """enc [N_pad, IN_PAD] bf16; ws/bs padded bf16.
 
     Returns (feat [N_pad, H] bf16, dens [N_pad, IN_PAD] f32 — density in
-    column 0)."""
+    column 0[, acts [n_stored, N_pad, H] bf16 when ckpt > 0])."""
     L = len(ws)
     H = ws[0].shape[1]
     N = enc.shape[0]
     n_tiles = N // tile
+    stored = _stored_layers(L, ckpt)
     flops_layer = sum(2 * tile * w.shape[0] * w.shape[1] for w in ws)
+    out_shape = [jax.ShapeDtypeStruct((N, H), jnp.bfloat16),
+                 jax.ShapeDtypeStruct((N, IN_PAD), jnp.float32)]
+    out_specs = [pl.BlockSpec((tile, H), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if stored:
+        out_shape.append(
+            jax.ShapeDtypeStruct((len(stored), N, H), jnp.bfloat16))
+        out_specs.append(pl.BlockSpec((len(stored), tile, H),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
     return pl.pallas_call(
-        _fwd_kernel_factory(L, skip, H, nh=INTERLEAVE),
-        out_shape=[jax.ShapeDtypeStruct((N, H), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((N, IN_PAD), jnp.float32)],
+        _fwd_kernel_factory(L, skip, H, nh=INTERLEAVE, stored=stored),
+        out_shape=out_shape,
         grid=(n_tiles,),
         in_specs=(
             [pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -118,13 +154,10 @@ def _trunk_fwd_call(enc, ws, bs, skip, interpret, tile):
                for w in ws]
             + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for b in bs]),
-        out_specs=[pl.BlockSpec((tile, H), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=n_tiles * flops_layer,
-            bytes_accessed=N * (IN_PAD + H + IN_PAD) * 2,
+            bytes_accessed=N * (IN_PAD + H + IN_PAD + len(stored) * H) * 2,
             transcendentals=0),
         interpret=interpret,
     )(enc, *ws, *bs)
@@ -135,14 +168,25 @@ def _trunk_fwd_call(enc, ws, bs, skip, interpret, tile):
 
 
 def _bwd_kernel_factory(L: int, skip: int, H: int, use_wt: bool = False,
-                        nh: int = 1):
+                        nh: int = 1, stored: tuple = ()):
+    stored_slot = {l: s for s, l in enumerate(stored)}
+
     def kernel(*refs):
         enc_ref = refs[0]
         gf_ref = refs[1]                # [T, H] feat cotangent
         gd_ref = refs[2]                # [T, IN_PAD] density cotangent (col 0)
-        w_refs = refs[3:3 + L]
-        b_refs = refs[3 + L:3 + 2 * L]
-        base = 3 + 2 * L
+        feat_ref = refs[3]              # [T, H] fwd feat output (relu' mask:
+        # relu(pre) > 0 <=> pre > 0, so the forward's own output replaces the
+        # rematerialised last-layer pre-activation — one matmul pass fewer
+        # and no [T, H+128] f32 scratch)
+        base = 4
+        acts_in = None
+        if stored:
+            acts_in = refs[base]        # [n_stored, T, H] bf16 stored acts
+            base += 1
+        w_refs = refs[base:base + L]
+        b_refs = refs[base + L:base + 2 * L]
+        base += 2 * L
         wt_refs = None
         if use_wt:
             wt_refs = refs[base:base + L]
@@ -150,8 +194,6 @@ def _bwd_kernel_factory(L: int, skip: int, H: int, use_wt: bool = False,
         denc_ref = refs[base]
         dw_refs = refs[base + 1:base + 1 + L]
         db_refs = refs[base + 1 + L:base + 1 + 2 * L]
-        acts_ref = refs[base + 1 + 2 * L]  # [L-1, T, H] bf16 (post-relu)
-        last_ref = refs[base + 2 + 2 * L]  # [T, H+128] f32 (last pre-act)
 
         first = pl.program_id(0) == 0
 
@@ -166,28 +208,30 @@ def _bwd_kernel_factory(L: int, skip: int, H: int, use_wt: bool = False,
         hs = [slice(h * Th, (h + 1) * Th) for h in range(nh)]
         xs = [x_all[s] for s in hs]
 
-        # --- recompute forward, stashing post-relu activations in VMEM
-        a = list(xs)
-        for l in range(L):
+        # --- hidden activations a[0..L-2]: read the stored ones, recompute
+        # the rest from the nearest stored predecessor (full remat when
+        # `stored` is empty). Only layers 0..L-2 are needed: the last layer's
+        # relu' mask comes from feat_ref.
+        acts = [[None] * (L - 1) for _ in range(nh)]
+        for l in range(L - 1):
             for h in range(nh):
-                inp = (jnp.concatenate([a[h], xs[h]], axis=-1)
-                       if l == skip else a[h])
-                pre = jax.lax.dot_general(
-                    inp, w_refs[l][...], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                pre = pre + b_refs[l][...].astype(jnp.float32)
-                if l == L - 1:
-                    last_ref[hs[h], :] = pre
+                if l in stored_slot:
+                    acts[h][l] = acts_in[stored_slot[l], hs[h]]
                 else:
-                    a[h] = jax.nn.relu(pre).astype(jnp.bfloat16)
-                    acts_ref[l, hs[h]] = a[h]
+                    prev = xs[h] if l == 0 else acts[h][l - 1]
+                    inp = (jnp.concatenate([prev, xs[h]], axis=-1)
+                           if l == skip else prev)
+                    pre = jax.lax.dot_general(
+                        inp, w_refs[l][...], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    pre = pre + b_refs[l][...].astype(jnp.float32)
+                    acts[h][l] = jax.nn.relu(pre).astype(jnp.bfloat16)
 
         # --- backward through the tile
         # NOTE: all relu' masks compare in f32 — v5e Mosaic rejects bf16
         # vector comparisons ("Target does not support this comparison").
-        pre_last = last_ref[...]
         g_pre = [jnp.concatenate(
-            [jnp.where(pre_last[s, :H] > 0.0,
+            [jnp.where(feat_ref[s, :].astype(jnp.float32) > 0.0,
                        gf_ref[s, :].astype(jnp.float32), 0.0),
              gd_ref[s, :].astype(jnp.float32)], axis=1) for s in hs]
         g_enc_skip = [None] * nh
@@ -198,10 +242,9 @@ def _bwd_kernel_factory(L: int, skip: int, H: int, use_wt: bool = False,
                 if l == 0:
                     inp = xs[h]
                 elif l == skip:
-                    inp = jnp.concatenate([acts_ref[l - 1, hs[h]], xs[h]],
-                                          axis=-1)
+                    inp = jnp.concatenate([acts[h][l - 1], xs[h]], axis=-1)
                 else:
-                    inp = acts_ref[l - 1, hs[h]]
+                    inp = acts[h][l - 1]
                 g_bf = g_pre[h].astype(jnp.bfloat16)
                 dw = jax.lax.dot_general(inp, g_bf, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
@@ -220,10 +263,10 @@ def _bwd_kernel_factory(L: int, skip: int, H: int, use_wt: bool = False,
                     denc_ref[hs[h], :] = g_x.astype(jnp.bfloat16)
                 elif l == skip:
                     g_enc_skip[h] = g_x[:, H:]
-                    mask = acts_ref[l - 1, hs[h]].astype(jnp.float32) > 0.0
+                    mask = acts[h][l - 1].astype(jnp.float32) > 0.0
                     g_pre[h] = jnp.where(mask, g_x[:, :H], 0.0)
                 else:
-                    mask = acts_ref[l - 1, hs[h]].astype(jnp.float32) > 0.0
+                    mask = acts[h][l - 1].astype(jnp.float32) > 0.0
                     g_pre[h] = jnp.where(mask, g_x, 0.0)
             dw_refs[l][...] += dw_acc
             db_refs[l][...] += db_acc
@@ -235,14 +278,18 @@ def _bwd_kernel_factory(L: int, skip: int, H: int, use_wt: bool = False,
     return kernel
 
 
-def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret, tile):
+def _trunk_bwd_call(enc, g_feat, g_dens, feat, acts, ws, bs, skip, interpret,
+                    tile, ckpt=0):
     L = len(ws)
     H = ws[0].shape[1]
     N = enc.shape[0]
     n_tiles = N // tile
     use_wt = BWD_WT
+    stored = _stored_layers(L, ckpt)
     wts = [jnp.swapaxes(w, 0, 1) for w in ws] if use_wt else []
     flops_layer = sum(2 * tile * w.shape[0] * w.shape[1] for w in ws)
+    # matmul passes: (L-1 - n_stored) remat + L dx + L dW
+    n_passes = (L - 1 - len(stored)) + 2 * L
     out_shapes = (
         [jax.ShapeDtypeStruct((N, IN_PAD), jnp.bfloat16)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
@@ -253,14 +300,23 @@ def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret, tile):
            for w in ws]
         + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for b in bs])
+    acts_args, acts_specs = [], []
+    if stored:
+        acts_args = [acts]
+        acts_specs = [pl.BlockSpec((len(stored), tile, H),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)]
     outs = pl.pallas_call(
-        _bwd_kernel_factory(L, skip, H, use_wt=use_wt, nh=INTERLEAVE),
+        _bwd_kernel_factory(L, skip, H, use_wt=use_wt, nh=INTERLEAVE,
+                            stored=stored),
         out_shape=out_shapes,
         grid=(n_tiles,),
         in_specs=(
             [pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
              pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-             pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+             pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+             pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+            + acts_specs
             + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for w in ws]
             + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -268,16 +324,13 @@ def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret, tile):
             + [pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for wt in wts]),
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((L - 1, tile, H), jnp.bfloat16),
-            pltpu.VMEM((tile, H + IN_PAD), jnp.float32),
-        ],
         cost_estimate=pl.CostEstimate(
-            flops=3 * n_tiles * flops_layer,
-            bytes_accessed=N * (IN_PAD + H + IN_PAD) * 4,
+            flops=n_passes * n_tiles * flops_layer // L,
+            bytes_accessed=N * (IN_PAD + H + IN_PAD
+                                + (1 + len(stored)) * H) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(enc, g_feat, g_dens, *ws, *bs, *wts)
+    )(enc, g_feat, g_dens, feat, *acts_args, *ws, *bs, *wts)
     denc = outs[0]
     dws = outs[1:1 + L]
     dbs = outs[1 + L:]
@@ -288,21 +341,26 @@ def _trunk_bwd_call(enc, g_feat, g_dens, ws, bs, skip, interpret, tile):
 # custom-vjp wrapper over the padded shapes
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _trunk_padded(enc, ws, bs, skip, interpret, tile):
-    return _trunk_fwd_call(enc, ws, bs, skip, interpret, tile)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _trunk_padded(enc, ws, bs, skip, interpret, tile, ckpt):
+    outs = _trunk_fwd_call(enc, ws, bs, skip, interpret, tile, ckpt)
+    return outs[0], outs[1]
 
 
-def _trunk_padded_fwd(enc, ws, bs, skip, interpret, tile):
-    return _trunk_fwd_call(enc, ws, bs, skip, interpret, tile), (enc, ws, bs)
+def _trunk_padded_fwd(enc, ws, bs, skip, interpret, tile, ckpt):
+    outs = _trunk_fwd_call(enc, ws, bs, skip, interpret, tile, ckpt)
+    feat, dens = outs[0], outs[1]
+    acts = outs[2] if ckpt > 0 else None
+    return (feat, dens), (enc, ws, bs, feat, acts)
 
 
-def _trunk_padded_bwd(skip, interpret, tile, res, g_out):
-    enc, ws, bs = res
+def _trunk_padded_bwd(skip, interpret, tile, ckpt, res, g_out):
+    enc, ws, bs, feat, acts = res
     g_feat, g_dens = g_out
     denc, dws, dbs = _trunk_bwd_call(enc, g_feat.astype(jnp.bfloat16),
                                      g_dens.astype(jnp.bfloat16),
-                                     ws, bs, skip, interpret, tile)
+                                     feat, acts,
+                                     ws, bs, skip, interpret, tile, ckpt)
     dws = [d.astype(w.dtype) for d, w in zip(dws, ws)]
     dbs = [d.astype(b.dtype) for d, b in zip(dbs, bs)]
     return denc, dws, dbs
@@ -339,7 +397,8 @@ def supports(cfg) -> bool:
 
 
 def fused_trunk(enc: jnp.ndarray, feat_layers: list, skip: int,
-                interpret: bool = False, tile: int | None = None):
+                interpret: bool = False, tile: int | None = None,
+                ckpt: int | None = None):
     """Run the trunk on [..., D] encoded points.
 
     feat_layers: list of {'w', 'b'} (bf16 or f32; cast to bf16 here), layer
@@ -348,11 +407,18 @@ def fused_trunk(enc: jnp.ndarray, feat_layers: list, skip: int,
 
     `tile` = points per grid step (default module TILE): larger tiles
     amortize per-step overhead and raise MXU occupancy at the cost of VMEM
-    (weights + dW f32 + [L-1, tile, H] activation scratch must fit).
+    (weights + dW f32 + per-layer activations must fit).
+
+    `ckpt` = activation checkpoint stride (default module TRUNK_CKPT /
+    $POSEPROBE_TRUNK_CKPT): 0 full remat, 1 store all hidden activations,
+    k>=2 store every k-th. Stored activations stream HBM<->VMEM through the
+    Pallas grid pipeline (double-buffered block DMA overlapped with the MXU
+    passes), trading remat matmuls for bandwidth.
 
     Returns (raw_density [...] f32, feat [..., H] bf16-valued f32-castable).
     """
     tile = tile or TILE
+    ckpt = TRUNK_CKPT if ckpt is None else ckpt
     L = len(feat_layers)
     H = feat_layers[0]["w"].shape[1]
     lead = enc.shape[:-1]
@@ -383,7 +449,7 @@ def fused_trunk(enc: jnp.ndarray, feat_layers: list, skip: int,
         ws.append(w)
         bs.append(b)
 
-    feat_out, dens_out = _trunk_padded(x, ws, bs, skip, interpret, tile)
+    feat_out, dens_out = _trunk_padded(x, ws, bs, skip, interpret, tile, ckpt)
     raw_density = dens_out[:N, 0].reshape(lead)
     feat = feat_out[:N].reshape(lead + (H,))
     return raw_density, feat

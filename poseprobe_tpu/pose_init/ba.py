@@ -68,10 +68,15 @@ def observations_from_packs(packs, pair_ab, n_active: int):
     return obs
 
 
-def _triangulate(K, pose_a, pose_b, px_a, px_b):
-    """DLT triangulation -> world points [m, 3] + cheirality mask."""
-    P_a = K @ pose_a
-    P_b = K @ pose_b
+def _triangulate(K_a, K_b, pose_a, pose_b, px_a, px_b):
+    """DLT triangulation -> world points [m, 3] + cheirality mask.
+
+    Takes per-view intrinsics: the DTU loader decomposes genuinely per-view
+    K matrices, so projecting view b through K_a biases residuals against
+    the 0.15 px accept gate (round-4 advisor finding).
+    """
+    P_a = K_a @ pose_a
+    P_b = K_b @ pose_b
     X = cv2.triangulatePoints(P_a, P_b, px_a.T.astype(np.float64),
                               px_b.T.astype(np.float64))
     w = X[3]
@@ -155,10 +160,11 @@ def polish_poses_matches(poses_w2c, Ks, obs, fix_first: bool = True,
         produces ~1e9-px residuals that dominate even a Huber cost."""
         kept, dropped = [], 0
         for a, b, px_a, px_b in obs:
-            K = np.asarray(Ks[a], np.float64)
-            pts, ok = _triangulate(K, poses[a], poses[b], px_a, px_b)
-            e = np.maximum(_reproj_err(K, poses[a], pts, px_a),
-                           _reproj_err(K, poses[b], pts, px_b))
+            K_a = np.asarray(Ks[a], np.float64)
+            K_b = np.asarray(Ks[b], np.float64)
+            pts, ok = _triangulate(K_a, K_b, poses[a], poses[b], px_a, px_b)
+            e = np.maximum(_reproj_err(K_a, poses[a], pts, px_a),
+                           _reproj_err(K_b, poses[b], pts, px_b))
             e = np.where(ok, e, np.inf)
             if ok.sum() < 8:
                 dropped += len(px_a)
@@ -189,9 +195,11 @@ def polish_poses_matches(poses_w2c, Ks, obs, fix_first: bool = True,
             poses = _poses_from(th, base, free)
             rs = []
             for a, b, px_a, px_b in cur_obs:
-                K = np.asarray(Ks[a], np.float64)
-                pts, _ = _triangulate(K, poses[a], poses[b], px_a, px_b)
-                for v, px in ((a, px_a), (b, px_b)):
+                K_a = np.asarray(Ks[a], np.float64)
+                K_b = np.asarray(Ks[b], np.float64)
+                pts, _ = _triangulate(K_a, K_b, poses[a], poses[b],
+                                      px_a, px_b)
+                for v, K, px in ((a, K_a, px_a), (b, K_b, px_b)):
                     pc = pts @ poses[v][:, :3].T + poses[v][:, 3]
                     z = np.clip(pc[:, 2], 1e-9, None)
                     proj = (pc[:, :2] / z[:, None]) @ K[:2, :2].T + K[:2, 2]
@@ -310,10 +318,11 @@ def polish_poses_matches(poses_w2c, Ks, obs, fix_first: bool = True,
     def cost_at(poses, cur_obs, delta=1.0):
         tot = 0.0
         for a, b, px_a, px_b in cur_obs:
-            K = np.asarray(Ks[a], np.float64)
-            pts, ok = _triangulate(K, poses[a], poses[b], px_a, px_b)
-            e = np.maximum(_reproj_err(K, poses[a], pts, px_a),
-                           _reproj_err(K, poses[b], pts, px_b))
+            K_a = np.asarray(Ks[a], np.float64)
+            K_b = np.asarray(Ks[b], np.float64)
+            pts, ok = _triangulate(K_a, K_b, poses[a], poses[b], px_a, px_b)
+            e = np.maximum(_reproj_err(K_a, poses[a], pts, px_a),
+                           _reproj_err(K_b, poses[b], pts, px_b))
             e = np.where(ok, np.minimum(e, 1e3), 1e3)
             w = np.where(e <= delta, 1.0, delta / np.maximum(e, 1e-12))
             tot += float(np.sum(w * e ** 2))

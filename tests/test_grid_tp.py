@@ -17,6 +17,10 @@ import pytest
 from poseprobe_tpu.ops import grid as grid_ops
 from poseprobe_tpu.parallel import grid_tp
 
+# heavy-compile module: slow tier (round-4 verdict weak #7); iterate with
+# `pytest -m fast`, run this tier with `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 
 def _setup(C=5, X=9, Y=7, Z=16, n=257, seed=0, seams=True):
     rng = np.random.RandomState(seed)

@@ -208,6 +208,34 @@ class TestFusedTrunk:
                         assert np.abs(a - b).max() <= 1e-2 * (np.abs(a).max() + 1e-6), \
                             (wt, il, l, k)
 
+    def test_ckpt_variant_parity(self):
+        """Activation-store variants (ckpt=1 full store, ckpt=2 stride-2) vs
+        full remat (ckpt=0): bit-exact, since the stored activations are the
+        same bf16 values the remat recomputes and the backward consumes them
+        in the same order/dtypes."""
+        from poseprobe_tpu.ops.pallas import fused_mlp
+        layers = self._layers()
+        enc = jax.random.normal(jax.random.PRNGKey(7), (1024, self.D))
+
+        def run(ckpt):
+            def f(params, enc):
+                raw, feat = fused_mlp.fused_trunk(enc, params, self.SKIP,
+                                                  interpret=True, tile=512,
+                                                  ckpt=ckpt)
+                return (jax.nn.softplus(raw).sum()
+                        + (feat.astype(jnp.float32) ** 2).sum())
+            return jax.value_and_grad(f, argnums=(0, 1))(layers, enc)
+
+        val0, (gp0, ge0) = run(0)
+        for ckpt in (1, 2):
+            val, (gp, ge) = run(ckpt)
+            assert np.array_equal(np.asarray(val0), np.asarray(val)), ckpt
+            assert np.array_equal(np.asarray(ge0), np.asarray(ge)), ckpt
+            for l in range(self.L):
+                for k in ("w", "b"):
+                    assert np.array_equal(np.asarray(gp0[l][k]),
+                                          np.asarray(gp[l][k])), (ckpt, l, k)
+
 
 class TestPallasRenderPath:
     def test_object_render_pallas_flag_matches_default(self):

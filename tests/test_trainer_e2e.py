@@ -14,6 +14,10 @@ from poseprobe_tpu.models.object_sdf import ObjectConfig
 from poseprobe_tpu.models.scene_nerf import SceneConfig
 from poseprobe_tpu.train.trainer import JointTrainer
 
+# heavy-compile module: slow tier (round-4 verdict weak #7); iterate with
+# `pytest -m fast`, run this tier with `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 
 def tiny_config(data, max_iter=400, n_iters_obj=300, incremental_step=50):
     margin = float(data.xyz_max[0])
