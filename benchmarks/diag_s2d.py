@@ -1,0 +1,191 @@
+"""Diagnose the s2d chamfer term: unobserved GT vs reconstructable-but-missed.
+
+Round-4 verdict next #6: after the observed-space culls, s2d (GT -> mesh)
+0.23-0.32 dominates the cube chamfer while d2s_icp is 0.013. This script
+re-runs the synthetic mesh evaluation for a finished run and BREAKS s2d DOWN:
+
+* per cube face (which of the 6 faces the GT point lies on),
+* per best-view incidence (max over train views of |cos| between the face
+  normal and the view ray — grazing-only surface is near cos 0),
+* with the culled/kept GT fractions, so "honestly-cullable" vs "missed"
+  is quantified instead of guessed.
+
+Usage:
+  python benchmarks/diag_s2d.py --run logs/r4_3view_classical \
+      --n_views 3 --res 128 --texture noise
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", type=str, required=True)
+    ap.add_argument("--ckpt", type=str, default="last_ckpt.pkl")
+    ap.add_argument("--n_views", type=int, default=3)
+    ap.add_argument("--n_test", type=int, default=0)
+    ap.add_argument("--res", type=int, default=0)
+    ap.add_argument("--texture", type=str, default="checker")
+    ap.add_argument("--probe", type=str, default="cube")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import run as run_mod
+    from poseprobe_tpu.core import align
+    from poseprobe_tpu.data import synthetic as synth_mod
+    from poseprobe_tpu.data.loaders import load_data
+    from poseprobe_tpu.eval import dtu_protocol, mesh as mesh_mod
+    from poseprobe_tpu.models import object_sdf
+    from poseprobe_tpu.train import state as state_mod
+    from poseprobe_tpu.train.trainer import JointTrainer
+
+    class A:  # minimal arg shim for run.load_config
+        config = ""
+        synthetic = True
+        datadir = scene = ""
+    cfg = run_mod.load_config(A())
+    kw = {"n_train": args.n_views}
+    if args.n_test:
+        kw["n_test"] = args.n_test
+    if args.res:
+        kw["H"] = kw["W"] = args.res
+    if args.texture != "checker":
+        kw["texture"] = args.texture
+    if args.probe != "cube":
+        kw["probe"] = args.probe
+    data = load_data(cfg.data, **kw)
+    trainer = JointTrainer(cfg, data)
+    payload = state_mod.load_checkpoint(os.path.join(args.run, args.ckpt))
+    trainer.state = state_mod.restore_state(trainer.state, payload)
+    trainer.restore_host_extras(state_mod.get_extras(payload))
+    cur = trainer.current_pose_host()
+
+    vol = object_sdf.extract_sdf_volume(trainer.state.obj_params,
+                                        cfg.object_model, resolution=256)
+    verts, tris = mesh_mod.extract_mesh_world(
+        vol, cfg.object_model.xyz_min_np, cfg.object_model.xyz_max_np,
+        scale_mat=data.scale_mats)
+    assert len(verts), "empty mesh"
+    _, sim3 = align.prealign_w2c_small_camera_systems(
+        cur, data.poses_gt_w2c[data.i_train])
+    verts_gt = align.apply_sim3_points(verts, sim3)
+    pred_pts = mesh_mod.sample_mesh_surface(verts_gt, tris, 500_000)
+
+    half = 0.35
+    gt_pts = synth_mod.probe_surface_points(probe=args.probe)
+    tr = data.i_train
+    seen = dtu_protocol.visible_in_any_view(
+        gt_pts, data.depth_gt[tr], data.poses_gt_w2c[tr], data.Ks[tr])
+    print(f"[diag] GT points {len(gt_pts)}, visible-in-any-view "
+          f"{seen.mean():.1%} (the eval's gt_cull)")
+    gt_kept = gt_pts[seen]
+
+    # ICP-refine the sim3 first: the pose-aligned gauge carries a ~10% scale
+    # transfer error (sim3_scale 1.08-1.13 committed) that displaces the
+    # WHOLE mesh; bucketing s2d in the raw gauge mixes that displacement with
+    # genuinely missing surface. In the ICP gauge, s2d IS missingness.
+    pred_icp = dtu_protocol.icp_refine_sim3(
+        pred_pts[:: max(len(pred_pts) // 200_000, 1)], gt_kept)
+    d2s_icp = np.minimum(np.sqrt(mesh_mod.nearest_sqdist(pred_icp, gt_kept)),
+                         0.5)
+    print(f"[diag] d2s_icp mean {d2s_icp.mean():.4f} (pred lies on GT: "
+          "small = s2d below is pure missingness)")
+    pred_pts = pred_icp
+
+    s2d = np.sqrt(mesh_mod.nearest_sqdist(gt_kept, pred_pts))
+    s2d = np.minimum(s2d, 0.5)
+    print(f"[diag] s2d over kept GT: mean {s2d.mean():.4f}  "
+          f"p50 {np.median(s2d):.4f}  p90 {np.percentile(s2d, 90):.4f}  "
+          f"p99 {np.percentile(s2d, 99):.4f}")
+
+    # face id: axis with |coord| == half
+    ax = np.argmax(np.abs(np.abs(gt_kept) - half) < 1e-4, axis=1)
+    sign = np.sign(gt_kept[np.arange(len(gt_kept)), ax])
+    face = ax * 2 + (sign > 0)
+    names = ["x-", "x+", "y-", "y+", "z-", "z+"]
+
+    # best-view incidence |cos| between the outward face normal and the ray
+    # to each camera center (GT gauge), over views where the point is visible
+    normals = np.zeros_like(gt_kept)
+    normals[np.arange(len(gt_kept)), ax] = sign
+    centers = np.stack([-p[:, :3].T @ p[:, 3]
+                        for p in data.poses_gt_w2c[tr]])
+    best_cos = np.zeros(len(gt_kept))
+    for c in centers:
+        ray = c[None, :] - gt_kept
+        ray /= np.linalg.norm(ray, axis=1, keepdims=True) + 1e-9
+        cosv = np.sum(ray * normals, axis=1)
+        best_cos = np.maximum(best_cos, cosv)
+
+    print("\n[diag] per-face breakdown (kept GT):")
+    for f in range(6):
+        m = face == f
+        if not m.any():
+            continue
+        print(f"   {names[f]}: n={m.sum():6d} ({m.mean():5.1%})  "
+              f"s2d mean {s2d[m].mean():.4f}  p90 "
+              f"{np.percentile(s2d[m], 90):.4f}  "
+              f"best_cos med {np.median(best_cos[m]):.2f}")
+
+    print("\n[diag] s2d by best-view incidence |cos| bucket:")
+    for lo, hi in [(-1, 0.1), (0.1, 0.3), (0.3, 0.6), (0.6, 1.01)]:
+        m = (best_cos >= lo) & (best_cos < hi)
+        if not m.any():
+            continue
+        frac_err = s2d[m].sum() / s2d.sum()
+        print(f"   cos [{lo:4.1f},{hi:4.1f}): n={m.sum():6d} ({m.mean():5.1%})"
+              f"  s2d mean {s2d[m].mean():.4f}  share of total s2d error "
+              f"{frac_err:5.1%}")
+
+    # counterfactual: what does the committed eval score become if GT is
+    # additionally culled to faces some view sees at better than cos 0.3?
+    for cmin in (0.1, 0.2, 0.3):
+        m = best_cos >= cmin
+        print(f"[diag] counterfactual gt_cull 'seen at cos>={cmin}': "
+              f"keeps {m.mean():5.1%}, s2d -> {s2d[m].mean():.4f}")
+
+    # ---- full protocol variants (the numbers eval.py would emit)
+    pad = 0.15
+    bbox = np.stack([gt_pts.min(0) - pad, gt_pts.max(0) + pad])
+
+    def pred_cull(p):
+        keep = dtu_protocol.visual_hull_cull(
+            p, data.masks[tr], data.poses_gt_w2c[tr], data.Ks[tr])
+        if data.depth_gt is not None:
+            keep &= dtu_protocol.observed_space_cull(
+                p, data.depth_gt[tr], data.poses_gt_w2c[tr], data.Ks[tr],
+                tol=0.1)
+        return keep
+
+    def gt_cull_sym(p):
+        # SYMMETRIC culling (DTU ObsMask spirit): score GT only where a
+        # perfect reconstruction's surface would itself survive pred_cull —
+        # anything else is unmatchable by construction.
+        return pred_cull(p)
+
+    seen_cull = (lambda p: dtu_protocol.visible_in_any_view(
+        p, data.depth_gt[tr], data.poses_gt_w2c[tr], data.Ks[tr]))
+
+    pred_raw = mesh_mod.sample_mesh_surface(verts_gt, tris, 500_000)
+    for name, gcull in [("visible_in_any_view (committed)", seen_cull),
+                        ("symmetric pred_cull", gt_cull_sym)]:
+        ch = dtu_protocol.evaluate_mesh_dtu(
+            verts_gt, tris, gt_pts, bbox=bbox, max_dist=0.5,
+            pred_cull=pred_cull, gt_cull=gcull)
+        print(f"\n[protocol] gt_cull = {name}:")
+        for k, v in ch.items():
+            print(f"   {k}: {v:.4f}" if isinstance(v, float) else f"   {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,10 @@ INTERLEAVE = int(_os.environ.get("POSEPROBE_TRUNK_INTERLEAVE", "1"))
 #   1 = store every hidden activation (no remat passes; max HBM traffic),
 #   k>=2 = store every k-th activation, remat the rest from the nearest
 #       stored predecessor (half the traffic at k=2 for 3 remat passes).
-TRUNK_CKPT = int(_os.environ.get("POSEPROBE_TRUNK_CKPT", "0"))
+# Default 1: measured on TPU v5e at the fine-phase point count (393k,
+# microbench_trunk 2026-08-20) ckpt1 11.85 ms vs ckpt0 12.82 vs ckpt2
+# 12.23 — the pipelined activation DMA hides fully under the MXU passes.
+TRUNK_CKPT = int(_os.environ.get("POSEPROBE_TRUNK_CKPT", "1"))
 
 
 def _stored_layers(L: int, ckpt: int) -> tuple:

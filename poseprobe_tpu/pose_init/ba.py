@@ -302,7 +302,19 @@ def polish_poses_matches(poses_w2c, Ks, obs, fix_first: bool = True,
         np.full(3, 1.0 / max(prior_sigma_trans, 1e-6))]), len(free))
     base, shrink, stats = solve(np.zeros_like(prior_rows))
     stage = "free"
-    if base is None or not (0.90 < shrink < 1.11):
+    # precision override of the baseline-ratio guard: when the free solve
+    # explains the matches to sub-noise precision (med residual ~0 px), the
+    # solution is the exact multi-view geometry up to the pinned gauge —
+    # baseline changes are then a CORRECTION of a badly wrong start, not the
+    # noise-collapse the ratio guard exists for (round-5 ba_noise_study: a
+    # t x100 ~8 injected start needs >10% baseline moves to heal; the guard
+    # misread that as collapse and the prior stage capped the fix at ~half).
+    free_exact = (base is not None and stats
+                  and stats.get("med_px", np.inf) < 0.05)
+    if base is not None:
+        info["free_baseline_ratio"] = shrink
+        info["free_med_px"] = stats.get("med_px") if stats else None
+    if base is None or (not free_exact and not (0.90 < shrink < 1.11)):
         base, shrink, stats = solve(prior_rows)
         stage = "prior"
         if base is None or not (0.8 < shrink < 1.25):

@@ -212,3 +212,123 @@ class TestObjectStepTP:
         # the update kept the TP layout (no silent host gather/replication)
         assert new_sdf.sharding.shard_shape(new_sdf.shape)[-1] \
             == sdf.shape[-1] // mesh_shape[1]
+
+
+class TestJointStepTP:
+    """Round-5 (verdict #8): the JOINT step — sharded object branch + coarse
+    scene NeRF + in-step pose composition — on the 2-D ('data','grid') mesh
+    must match the identical pipeline with replicated grids."""
+
+    def _scene_cfg(self):
+        from poseprobe_tpu.models.scene_nerf import SceneConfig
+        return SceneConfig(layers_feat=(32,) * 3, layers_rgb=(16, 3),
+                           skip=(1,), L_3D=2, L_view=1, sample_intvs=8,
+                           sample_intvs_fine=8, rand_rays=24, max_iter=100,
+                           barf_c2f=None, fine_sampling=False)
+
+    def _inputs(self, G=16, V=2, R=24, C=6):
+        from poseprobe_tpu.models import scene_nerf
+        rng = np.random.RandomState(1)
+        xs = np.linspace(-0.5, 0.5, G, dtype=np.float32)
+        X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+        d = np.maximum.reduce([np.abs(X), np.abs(Y), np.abs(Z)]) - 0.3
+        sdf = jnp.asarray(d[None])
+        k0 = jnp.asarray(rng.randn(C, G, G, G).astype(np.float32) * 0.05)
+        cfg = self._scene_cfg()
+        scene = scene_nerf.init_scene_params(jax.random.PRNGKey(3), cfg)
+        se3 = jnp.asarray(rng.randn(V, 6).astype(np.float32) * 0.01)
+        ang = rng.uniform(-0.25, 0.25, (V, R, 2)).astype(np.float32)
+        rays_cam = jnp.stack([np.tan(ang[..., 0]), np.tan(ang[..., 1]),
+                              np.ones((V, R), np.float32)], axis=-1)
+        base = np.tile(np.eye(3, 4, dtype=np.float32)[None], (V, 1, 1))
+        base[:, 2, 3] = 2.0  # cameras at z=-2 looking at the origin
+        base[:, 0, 3] = np.linspace(-0.1, 0.1, V)
+        tgt = jnp.asarray(rng.rand(V, R, 3).astype(np.float32))
+        msk = jnp.asarray((np.abs(ang) < 0.15).all(-1).astype(np.float32))
+        params = {"sdf": sdf, "k0": k0, "scene": scene, "se3": se3}
+        return params, cfg, rays_cam, jnp.asarray(base), tgt, msk
+
+    def _reference_step(self, params, cfg, rays_cam, base_w2c, tgt, msk,
+                        lr=1e-2):
+        from poseprobe_tpu.core import lie, pose as pose_ops
+        from poseprobe_tpu.models import scene_nerf
+        from poseprobe_tpu.ops import compositing
+        near, far, S = 1.0, 3.5, 32
+        lo = jnp.asarray((-0.5,) * 3)
+        hi = jnp.asarray((0.5,) * 3)
+        t = jnp.linspace(near, far, S, dtype=jnp.float32)
+        dist = float((far - near) / (S - 1))
+        eps = 0.5 / (params["sdf"].shape[1] - 1)
+
+        def loss_fn(p):
+            w2c = jax.vmap(lambda d_, b: pose_ops.compose_pair(
+                b, lie.se3_to_SE3(d_)))(p["se3"], base_w2c)
+            R_c2w = jnp.swapaxes(w2c[:, :, :3], 1, 2)
+            t_c2w = -jnp.einsum("vij,vj->vi", R_c2w, w2c[:, :, 3])
+            rd = jnp.einsum("vij,vrj->vri", R_c2w, rays_cam)
+            ro = jnp.broadcast_to(t_c2w[:, None, :], rd.shape)
+            ro_f, rd_f = ro.reshape(-1, 3), rd.reshape(-1, 3)
+            pts = ro_f[:, None] + rd_f[:, None] * t[None, :, None]
+
+            def samp(q):
+                return grid_ops.trilinear_sample(p["sdf"], q, lo, hi)[..., 0]
+            sdf = samp(pts)
+            grads = jnp.stack(
+                [(samp(pts + jnp.eye(3, dtype=pts.dtype)[a] * eps)
+                  - samp(pts - jnp.eye(3, dtype=pts.dtype)[a] * eps))
+                 / (2 * eps) for a in range(3)], -1)
+            vd = rd_f / jnp.linalg.norm(rd_f, axis=-1, keepdims=True)
+            alpha = compositing.neus_alpha_from_sdf(vd[:, None], dist, sdf,
+                                                    grads, 0.05)
+            inb = jnp.all((pts >= lo) & (pts <= hi), -1)
+            alpha = jnp.where(inb, alpha, 0.0)
+            w, _ = compositing.alpha2weights(alpha)
+            feat = grid_ops.trilinear_sample(p["k0"], pts, lo, hi)
+            rgb = jax.nn.sigmoid(feat[..., :3])
+            marched = jnp.sum(w[..., None] * rgb, 1)
+            op = jnp.clip(jnp.sum(w, 1), 1e-6, 1 - 1e-6)
+            tf, mf = tgt.reshape(-1, 3), msk.reshape(-1)
+            mse_obj = jnp.sum(mf[:, None] * (marched - tf) ** 2) / (
+                3 * jnp.sum(mf) + 1e-8)
+            bce = -jnp.mean(mf * jnp.log(op) + (1 - mf) * jnp.log(1 - op))
+            scene = scene_nerf.render_rays(p["scene"], cfg, ro, rd,
+                                           (near, far), 1.0, rng=None,
+                                           compute_fine=False)
+            mse_scene = jnp.mean((scene["rgb"].reshape(-1, 3) - tf) ** 2)
+            return mse_obj + 0.01 * bce + mse_scene
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return jax.tree.map(lambda x, g: x - lr * g, params, grads), loss
+
+    @pytest.mark.parametrize("mesh_shape", [(2, 4)])
+    def test_joint_parity_with_replicated(self, mesh_shape):
+        from poseprobe_tpu.parallel import object_tp
+        params, cfg, rays_cam, base, tgt, msk = self._inputs()
+        mesh = grid_tp.make_grid_mesh(*mesh_shape)
+        p_s = dict(params,
+                   sdf=grid_tp.shard_grid(params["sdf"], mesh),
+                   k0=grid_tp.shard_grid(params["k0"], mesh))
+        new, m = jax.jit(
+            lambda p: object_tp.joint_step_tp(
+                p, cfg, rays_cam, base, tgt, msk, near=1.0, far=3.5,
+                n_samples=32, xyz_min=(-0.5,) * 3, xyz_max=(0.5,) * 3,
+                s_val=0.05, progress=1.0, mesh=mesh))(p_s)
+        ref, ref_loss = self._reference_step(params, cfg, rays_cam, base,
+                                             tgt, msk)
+        assert abs(float(m["loss"]) - float(ref_loss)) < 1e-5
+        np.testing.assert_allclose(np.asarray(new["sdf"]),
+                                   np.asarray(ref["sdf"]),
+                                   rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(new["k0"]),
+                                   np.asarray(ref["k0"]),
+                                   rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(new["se3"]),
+                                   np.asarray(ref["se3"]),
+                                   rtol=1e-3, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(new["scene"]),
+                        jax.tree.leaves(ref["scene"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+        # grids stayed Z-sharded across the update
+        assert new["sdf"].sharding.shard_shape(new["sdf"].shape)[-1] \
+            == params["sdf"].shape[-1] // mesh_shape[1]

@@ -91,6 +91,24 @@ class TestPolish:
         # ratio is vs the PERTURBED start, whose baselines were ~9% off GT
         assert 0.85 < info["baseline_ratio"] < 1.15
 
+    def test_precision_override_beats_baseline_guard(self):
+        """A LARGE clean-match injection (t_sigma 0.1: baselines move far
+        outside the 0.90-1.11 ratio band) must still recover exactly via
+        the free stage: when the solve explains the matches to sub-noise
+        precision, baseline movement is the CORRECTION, not a collapse
+        (round-5 ba_noise_study — the prior stage used to cap such fixes
+        at roughly half)."""
+        d = _scene()
+        gt = d.poses_gt_w2c[d.i_train].astype(np.float64)
+        pert = _perturb(gt, seed=11, t_sigma=0.1, r_sigma=0.02)
+        pol, info = ba_mod.polish_poses_matches(pert, d.Ks[d.i_train],
+                                                _obs(d), fix_first=True)
+        assert info["applied"] and info["stage"] == "free"
+        assert info["free_med_px"] < 0.05
+        r1, t1 = _aligned_err(pol, gt)
+        assert r1 < 0.05, f"R {r1:.3f} deg"
+        assert t1 < 0.3, f"t x100 {t1:.2f}"
+
     def test_declines_on_noisy_matches(self):
         """1 px noise + 15% outliers at 64 px: BA cannot beat the trainer's
         photometric machinery there (measured: lands worse than the input),
