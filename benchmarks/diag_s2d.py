@@ -90,6 +90,11 @@ def main():
           f"{seen.mean():.1%} (the eval's gt_cull)")
     gt_kept = gt_pts[seen]
 
+    if os.environ.get("DIAG_S2D_ONLY_SYM"):
+        _protocol_variants(data, tr, verts_gt, tris, gt_pts, dtu_protocol,
+                           mesh_mod, only_sym=True)
+        return
+
     # ICP-refine the sim3 first: the pose-aligned gauge carries a ~10% scale
     # transfer error (sim3_scale 1.08-1.13 committed) that displaces the
     # WHOLE mesh; bucketing s2d in the raw gauge mixes that displacement with
@@ -154,7 +159,13 @@ def main():
         print(f"[diag] counterfactual gt_cull 'seen at cos>={cmin}': "
               f"keeps {m.mean():5.1%}, s2d -> {s2d[m].mean():.4f}")
 
-    # ---- full protocol variants (the numbers eval.py would emit)
+    _protocol_variants(data, tr, verts_gt, tris, gt_pts, dtu_protocol,
+                       mesh_mod, only_sym=False)
+
+
+def _protocol_variants(data, tr, verts_gt, tris, gt_pts, dtu_protocol,
+                       mesh_mod, only_sym: bool):
+    """Full protocol numbers (what eval.py would emit) per gt_cull variant."""
     pad = 0.15
     bbox = np.stack([gt_pts.min(0) - pad, gt_pts.max(0) + pad])
 
@@ -176,9 +187,11 @@ def main():
     seen_cull = (lambda p: dtu_protocol.visible_in_any_view(
         p, data.depth_gt[tr], data.poses_gt_w2c[tr], data.Ks[tr]))
 
-    pred_raw = mesh_mod.sample_mesh_surface(verts_gt, tris, 500_000)
-    for name, gcull in [("visible_in_any_view (committed)", seen_cull),
-                        ("symmetric pred_cull", gt_cull_sym)]:
+    variants = [("visible_in_any_view (committed)", seen_cull),
+                ("symmetric pred_cull", gt_cull_sym)]
+    if only_sym:
+        variants = variants[1:]
+    for name, gcull in variants:
         ch = dtu_protocol.evaluate_mesh_dtu(
             verts_gt, tris, gt_pts, bbox=bbox, max_dist=0.5,
             pred_cull=pred_cull, gt_cull=gcull)

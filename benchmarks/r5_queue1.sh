@@ -12,9 +12,9 @@ cd /root/repo
 mkdir -p logs/r5_queue
 echo $$ > /tmp/r5_queue1.pid
 
-# wait for queue0 (short perf probes) — one TPU process at a time
-if [ -f /tmp/r5_queue0.pid ]; then
-  q=$(cat /tmp/r5_queue0.pid)
+# wait for queue0b (perf iteration block) — one TPU process at a time
+if [ -f /tmp/r5_queue0b.pid ]; then
+  q=$(cat /tmp/r5_queue0b.pid)
   while kill -0 "$q" 2>/dev/null; do sleep 30; done
 fi
 

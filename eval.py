@@ -176,12 +176,18 @@ def main():
                         data.Ks[tr], tol=0.1)
                 return keep
 
-            seen = (None if data.depth_gt is None else
-                    (lambda p: dtu_protocol.visible_in_any_view(
-                        p, data.depth_gt[tr], data.poses_gt_w2c[tr], data.Ks[tr])))
+            # SYMMETRIC culling (round-5, DTU ObsMask spirit): GT is culled
+            # by the SAME criterion as pred. The previous gt_cull
+            # (visible_in_any_view) was weaker than pred's hull+observed-
+            # space cull, so GT points whose perfect reconstruction would
+            # itself have been culled from pred were scored as "missing"
+            # by construction (benchmarks/diag_s2d.py: ~1/3 of the round-4
+            # s2d term; on the same r4_3view_classical mesh the asymmetric
+            # protocol scores overall 0.1525 vs 0.1401 symmetric).
             chamfer = dtu_protocol.evaluate_mesh_dtu(
                 verts_gt, tris, gt_pts, bbox=bbox, max_dist=0.5,
-                pred_cull=pred_cull, gt_cull=seen)
+                pred_cull=pred_cull,
+                gt_cull=pred_cull if data.depth_gt is not None else None)
             chamfer["sim3_scale"] = sim3.s
             print("[eval] synthetic GT chamfer (world units):", chamfer)
             with open(os.path.join(out_dir, "chamfer.json"), "w") as f:

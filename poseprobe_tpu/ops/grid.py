@@ -81,6 +81,17 @@ def _use_window_scatter() -> bool:
     return os.environ.get("POSEPROBE_WINDOW_SCATTER", "0") == "1"
 
 
+def _scatter_barrier() -> bool:
+    """Experimental: materialize the scatter updates through a pallas
+    custom call before the scatter-add (POSEPROBE_SCATTER_BARRIER=1).
+
+    Round-5 early-phase lever: the object-branch grad graph fuses into one
+    opaque mega-fusion (32.9 ms of the 49.6 ms early step at the round-4
+    HEAD); a custom-call edge at the scatter input forces XLA to split it.
+    A/B via benchmarks/ablate.py before any default change."""
+    return os.environ.get("POSEPROBE_SCATTER_BARRIER", "0") == "1"
+
+
 def _use_window_gather() -> bool:
     """(2,2,2) window gather instead of 8 per-corner row gathers.
 
@@ -151,6 +162,8 @@ def _scatter_rows_to_grid(idx8: jnp.ndarray, contrib: jnp.ndarray,
     flat_c = contrib.reshape(-1, C)
     if C > 1 and _pin_layout():
         up = jnp.pad(flat_c, ((0, 0), (0, _LANE - C)))
+        if _scatter_barrier():
+            up = pallas_layout.materialize(up)
         d = jnp.zeros((V, _LANE), contrib.dtype).at[idx].add(up)
         return pallas_layout.transpose_slice(d, C).reshape(gshape)
     d_flat = jnp.zeros((V, C), contrib.dtype).at[idx].add(flat_c)

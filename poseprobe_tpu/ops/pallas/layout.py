@@ -70,6 +70,43 @@ def transpose_slice(x: jnp.ndarray, C: int, tile: int = _TILE,
     )(x)
 
 
+def materialize(x: jnp.ndarray, tile: int = _TILE,
+                interpret: bool | None = None) -> jnp.ndarray:
+    """Identity through a pallas custom call: a FUSION BARRIER.
+
+    `optimization_barrier` does not stop XLA from fusing producers and
+    consumers into one loop fusion (and does not constrain layouts); a
+    custom call does both — the operand must be materialized row-major in
+    HBM and the result is a fresh buffer. Use to break a pathological
+    mega-fusion (e.g. the early-phase object-branch grad fusion) at a
+    chosen edge, at the cost of one HBM round trip of `x`.
+
+    Accepts any rank; blocks over the leading axis of a 2-D view.
+    """
+    if interpret is None:
+        from .fused_mlp import on_tpu
+
+        interpret = not on_tpu()
+    shape = x.shape
+    x2 = x.reshape(shape[0], -1) if x.ndim != 2 else x
+    A, B = x2.shape
+
+    def _id_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    out = pl.pallas_call(
+        _id_kernel,
+        out_shape=jax.ShapeDtypeStruct((A, B), x2.dtype),
+        grid=(pl.cdiv(A, tile),),
+        in_specs=[pl.BlockSpec((tile, B), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile, B), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2)
+    return out.reshape(shape)
+
+
 def transpose2d(x: jnp.ndarray, tile: int = _TILE,
                 interpret: bool | None = None) -> jnp.ndarray:
     """[A, B] -> [B, A] with both sides in default (row-major) layout.

