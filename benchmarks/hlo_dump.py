@@ -38,8 +38,10 @@ def main():
                    state.opt_obj, state.opt_scene, state.opt_pose,
                    state.poses_pnp)
     rng = jax.random.PRNGKey(0)
+    # the jit wrapper's .lower does not run the method descriptor binding,
+    # so `self` must be passed explicitly (it is a static argnum)
     lowered = trainer._train_step.lower(
-        state_tuple, rng, jnp.asarray(state.step, jnp.int32),
+        trainer, state_tuple, rng, jnp.asarray(state.step, jnp.int32),
         trainer.mask_arr, mask_k=trainer._mask_k, **flags)
     txt = lowered.compile().as_text()
     out = args.out or f"logs/r5_queue/hlo_{args.phase}.txt"

@@ -44,3 +44,8 @@ tpu_job trunk_ckpt1_il2 timeout 1200 python benchmarks/microbench_trunk.py \
 tpu_job hlo_mid timeout 1500 python benchmarks/hlo_dump.py --phase mid
 
 echo "[r5q0b] all jobs done $(date +%H:%M:%S)"
+
+# appended while running (bash reads lazily): retry the early HLO dump with
+# the descriptor-binding fix so fusion attribution lands BEFORE queue1
+tpu_job hlo_early_fix timeout 1500 python benchmarks/hlo_dump.py --phase early
+echo "[r5q0b] appended jobs done $(date +%H:%M:%S)"

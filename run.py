@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import importlib.util
 import json
 import os
@@ -199,6 +200,25 @@ def parse_args():
     return p.parse_args()
 
 
+def apply_steps_override(cfg, args):
+    """Resolve --steps/--schedule_steps into the config's max_iters.
+
+    Makes every ratio-based schedule (pose windows, fine_start, BARF c2f,
+    BA/reregister events) resolve against the ACTUAL run length: before
+    round 5 a --steps override left schedules at the preset's max_iter,
+    silently shifting or skipping --pose_ba/--reregister events (round-4
+    advisor finding). --schedule_steps pins the schedule length
+    independently (e.g. a 60k run on the 20k flagship schedule).
+    """
+    if not args.steps:
+        return cfg
+    sched = args.schedule_steps or args.steps
+    return dataclasses.replace(
+        cfg,
+        scene_model=dataclasses.replace(cfg.scene_model, max_iter=sched),
+        scene_train=dataclasses.replace(cfg.scene_train, max_iter=sched))
+
+
 def load_config(args):
     from poseprobe_tpu.config import config as cfg_mod
 
@@ -249,18 +269,7 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     cfg = load_config(args)
-    if args.steps:
-        # Make every ratio-based schedule (pose windows, fine_start, BARF c2f,
-        # BA/reregister events) resolve against the ACTUAL run length: before
-        # round 5 a --steps override left schedules at the preset's max_iter,
-        # silently shifting or skipping --pose_ba/--reregister events
-        # (round-4 advisor finding). --schedule_steps pins the schedule length
-        # independently (e.g. 60k run on the 20k flagship schedule).
-        sched = args.schedule_steps or args.steps
-        cfg = dataclasses.replace(
-            cfg,
-            scene_model=dataclasses.replace(cfg.scene_model, max_iter=sched),
-            scene_train=dataclasses.replace(cfg.scene_train, max_iter=sched))
+    cfg = apply_steps_override(cfg, args)
     if args.seed is not None:
         from poseprobe_tpu.config.config import replace
         cfg = replace(cfg, seed=args.seed)

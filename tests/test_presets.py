@@ -174,3 +174,35 @@ def test_reference_knob_values():
     s = _load(os.path.join(PRESET_DIR, "shapenet_car.py")).get_config()
     assert s.data.white_bkgd and s.data.near == 0.2 and s.data.far == 3.0
     assert s.data.selected_id == (80, 95, 10)           # desk_car.py:14
+
+
+def test_steps_override_rescales_schedules():
+    """--steps must rescale BOTH max_iters so ratio-based schedules (pose
+    windows, BARF c2f, --pose_ba events) track the actual run length;
+    --schedule_steps pins the schedule independently (round-4 advisor:
+    a --steps override used to silently shift or skip BA events)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(PRESET_DIR) + "/../..")
+    import run as run_mod
+
+    def cfg_for(argv):
+        old = sys.argv
+        sys.argv = ["run.py"] + argv
+        try:
+            args = run_mod.parse_args()
+        finally:
+            sys.argv = old
+        return run_mod.apply_steps_override(run_mod.load_config(args), args)
+
+    c = cfg_for(["--synthetic", "--steps", "450"])
+    assert c.scene_model.max_iter == 450 and c.scene_train.max_iter == 450
+    assert int(0.5 * c.scene_model.max_iter) == 225  # BA at ratio 0.5
+
+    c = cfg_for(["--synthetic", "--steps", "60000", "--schedule_steps",
+                 "20000"])
+    assert c.scene_model.max_iter == 20000
+    assert c.scene_train.max_iter == 20000
+
+    c = cfg_for(["--synthetic"])  # no --steps: preset untouched
+    assert c.scene_model.max_iter == 20000
