@@ -151,6 +151,11 @@ def _scatter_rows_to_grid(idx8: jnp.ndarray, contrib: jnp.ndarray,
             scatter_dims_to_operand_dims=(0, 1, 2))
         P = _LANE if (C > 1 and _pin_layout()) else C
         up = contrib if P == C else jnp.pad(contrib, ((0, 0), (0, 0), (0, P - C)))
+        if _scatter_barrier():
+            # materialized updates: the round-3 800 ms window-scatter
+            # regression was XLA serializing the scatter inside the fused
+            # grad graph; a custom-call edge at its input isolates it
+            up = pallas_layout.materialize(up.reshape(N, 8 * P)).reshape(up.shape)
         d4 = jax.lax.scatter_add(
             jnp.zeros((X, Y, Z, P), contrib.dtype), starts,
             up.reshape(N, 2, 2, 2, P), dn,
