@@ -118,6 +118,14 @@ def main():
         verts, tris = mesh_mod.extract_mesh_world(
             vol, cfg.object_model.xyz_min_np, cfg.object_model.xyz_max_np,
             scale_mat=data.scale_mats)
+        comp_info = {}
+        if len(verts):
+            # drop salt-noise junk shells from the noisy far-field SDF
+            # region (standard cleaned-mesh protocol; the kept fraction is
+            # recorded in chamfer.json for transparency)
+            verts, tris, comp_info = mesh_mod.filter_small_components(
+                verts, tris)
+            print(f"[eval] component filter: {comp_info}")
         if len(verts) == 0:
             # degenerate probe geometry: the deformed SDF has no zero
             # crossing inside the bbox (observed: sphere-probe "filled box"
@@ -189,6 +197,7 @@ def main():
                 pred_cull=pred_cull,
                 gt_cull=pred_cull if data.depth_gt is not None else None)
             chamfer["sim3_scale"] = sim3.s
+            chamfer.update({f"mesh_{k}": v for k, v in comp_info.items()})
             print("[eval] synthetic GT chamfer (world units):", chamfer)
             with open(os.path.join(out_dir, "chamfer.json"), "w") as f:
                 json.dump(chamfer, f, indent=2)

@@ -90,6 +90,70 @@ def extract_mesh_world(volume: np.ndarray, xyz_min, xyz_max, iso: float = 0.0,
     return verts_w, tris
 
 
+def filter_small_components(verts: np.ndarray, tris: np.ndarray,
+                            min_area_frac: float = 0.05):
+    """Drop mesh components whose surface area < min_area_frac x the
+    largest component's area.
+
+    Standard mesh-eval hygiene (the official DTU evaluation scores a
+    cleaned reconstruction; MeshLab/open3d pipelines do the same): a noisy
+    far-field SDF region produces salt-noise junk shells all over the
+    bbox whose surface area can dwarf the actual object's, swamping both
+    d2s and the observation-mask culls (round-5 journal: an 0.068-frac_neg
+    probe grid extracted 806k verts spanning the whole box; the junk drove
+    pred_culled_frac to ~1.0 and d2s to 0.15).
+
+    Returns (verts, tris, info) with vertices re-indexed; info reports the
+    kept fraction so the filtering is visible in committed artifacts.
+    """
+    if len(tris) == 0:
+        return verts, tris, {"components": 0, "kept_area_frac": 1.0}
+    try:  # vectorized path (scipy is available in this environment)
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        rows = np.concatenate([tris[:, 0], tris[:, 1], tris[:, 2]])
+        cols = np.concatenate([tris[:, 1], tris[:, 2], tris[:, 0]])
+        adj = coo_matrix((np.ones(len(rows), np.int8), (rows, cols)),
+                         shape=(len(verts), len(verts)))
+        _, roots = connected_components(adj, directed=False)
+    except Exception:  # pragma: no cover - pure-python union-find fallback
+        parent = np.arange(len(verts))
+
+        def find(a):
+            root = a
+            while parent[root] != root:
+                root = parent[root]
+            while parent[a] != root:
+                parent[a], a = root, parent[a]
+            return root
+
+        for t in tris:
+            ra, rb, rc = find(t[0]), find(t[1]), find(t[2])
+            parent[rb] = ra
+            parent[rc] = ra
+        roots = np.array([find(v) for v in range(len(verts))])
+
+    e1 = verts[tris[:, 1]] - verts[tris[:, 0]]
+    e2 = verts[tris[:, 2]] - verts[tris[:, 0]]
+    tri_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    tri_root = roots[tris[:, 0]]
+    comp_ids, comp_idx = np.unique(tri_root, return_inverse=True)
+    comp_area = np.zeros(len(comp_ids))
+    np.add.at(comp_area, comp_idx, tri_area)
+    keep_comp = comp_area >= min_area_frac * comp_area.max()
+    keep_tri = keep_comp[comp_idx]
+    kept_area = float(comp_area[keep_comp].sum() / comp_area.sum())
+    new_tris = tris[keep_tri]
+    used = np.unique(new_tris)
+    remap = np.full(len(verts), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    info = {"components": int(len(comp_ids)),
+            "components_kept": int(keep_comp.sum()),
+            "kept_area_frac": kept_area}
+    return verts[used], remap[new_tris], info
+
+
 def save_ply(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
     """Minimal binary-less PLY writer (replaces trimesh.export)."""
     with open(path, "w") as f:

@@ -387,3 +387,35 @@ class TestMoreLoaders:
         # reference quirk: test split covers ids up to max(selected_id) only
         # (`load_custom.py:207`), so id 3 is excluded
         assert list(data.i_test) == [1]
+
+
+def test_filter_small_components():
+    """Junk shells below the area threshold are dropped, the main component
+    survives with vertices re-indexed (round-5: salt-noise SDF junk swamped
+    the observation culls and d2s — eval meshes are cleaned + the kept
+    fraction recorded)."""
+    import numpy as np
+    from poseprobe_tpu.eval import mesh as mesh_mod
+
+    def quad(cx, s):
+        v = np.array([[cx, 0, 0], [cx + s, 0, 0], [cx, s, 0],
+                      [cx + s, s, 0]], np.float64)
+        t = np.array([[0, 1, 2], [1, 3, 2]], np.int64)
+        return v, t
+
+    v1, t1 = quad(0.0, 1.0)      # big component (area 1)
+    v2, t2 = quad(5.0, 0.05)     # junk (area 0.0025)
+    verts = np.concatenate([v1, v2])
+    tris = np.concatenate([t1, t2 + 4])
+    fv, ft, info = mesh_mod.filter_small_components(verts, tris,
+                                                    min_area_frac=0.05)
+    assert info["components"] == 2 and info["components_kept"] == 1
+    assert len(fv) == 4 and len(ft) == 2
+    assert ft.max() < len(fv)          # re-indexed
+    assert np.isclose(info["kept_area_frac"], 1.0 / 1.0025, atol=1e-6)
+    # both components above threshold: nothing dropped
+    v3, t3 = quad(10.0, 0.9)
+    verts2 = np.concatenate([v1, v3])
+    tris2 = np.concatenate([t1, t3 + 4])
+    _, ft2, info2 = mesh_mod.filter_small_components(verts2, tris2)
+    assert info2["components_kept"] == 2 and len(ft2) == 4
