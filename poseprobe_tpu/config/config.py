@@ -90,6 +90,16 @@ class CameraConfig:
     # left untouched (instrumented: the photo ratio re-armed warmup on good
     # poses and the blurry-render alignment damaged them, t 3.5 -> 37.5).
     activation_warmup_holdout_px: float = 0.0
+    # match-anchor acceptance guard on the warmup result (round-5, default
+    # ON): accept a photometrically-better warmup pose only if its median
+    # reprojection over the activation's own PnP anchors stays within
+    # max(this_ratio x med_pnp, match_guard_px_floor). The photometric score
+    # CAN prefer a corrupted pose (the scene generalizes poorly at a new
+    # view, so mse improves while the pose diverges — observed t 3.5 -> 24
+    # x100, which then evaporated the probe); the match geometry cannot
+    # co-adapt. 0 disables.
+    activation_warmup_match_guard: float = 3.0
+    match_guard_px_floor: float = 3.0
     # warmup optimizes rotation only (pure-rotation w2c refine keeps the
     # camera center at PnP's solution): the warmup reliably fixes
     # orientation but injects along-view translation against blurry renders;

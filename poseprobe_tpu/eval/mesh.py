@@ -108,6 +108,22 @@ def filter_small_components(verts: np.ndarray, tris: np.ndarray,
     """
     if len(tris) == 0:
         return verts, tris, {"components": 0, "kept_area_frac": 1.0}
+    # WELD first: the native marching-tetrahedra extractor emits per-triangle
+    # vertices (no sharing), so connectivity would see every triangle as its
+    # own component (observed: 1.08M "components" for a 1.08M-tri mesh).
+    # Quantize to ~1e-6 of the bbox diagonal and merge identical positions.
+    diag = float(np.linalg.norm(verts.max(0) - verts.min(0))) or 1.0
+    q = np.round(verts / (diag * 1e-6)).astype(np.int64)
+    _, first_idx, inv = np.unique(q, axis=0, return_index=True,
+                                  return_inverse=True)
+    verts = verts[first_idx]
+    tris = inv[tris]
+    # drop degenerate triangles produced by the weld
+    ok = ((tris[:, 0] != tris[:, 1]) & (tris[:, 1] != tris[:, 2])
+          & (tris[:, 0] != tris[:, 2]))
+    tris = tris[ok]
+    if len(tris) == 0:
+        return verts, tris, {"components": 0, "kept_area_frac": 1.0}
     try:  # vectorized path (scipy is available in this environment)
         from scipy.sparse import coo_matrix
         from scipy.sparse.csgraph import connected_components

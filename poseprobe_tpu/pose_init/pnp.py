@@ -201,8 +201,24 @@ def solve_pnp(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,
                               _holdout_reproj(world_pts, img_pts, K,
                                               prev_pose_w2c)),
         "n_pts": len(world_pts), "fallback": fallback,
+        # anchors retained so the trainer can score CANDIDATE poses (e.g.
+        # the activation photometric warmup) on the same geometry — the one
+        # signal the scene render cannot co-adapt to (round-5: warmup
+        # halved photometric mse while corrupting a near-exact PnP pose to
+        # R 3.9 deg / t x100 24, evaporating the probe)
+        "world_pts": np.asarray(world_pts), "img_pts": np.asarray(img_pts),
+        "K": np.asarray(K),
     }
     return pose
+
+
+def reproj_for_pose(quality: dict, pose_w2c: np.ndarray) -> float:
+    """Median anchor-reprojection error (px) of a CANDIDATE pose on the
+    anchors retained in a `solve_pnp` quality dict; inf if unavailable."""
+    if not quality or "world_pts" not in quality:
+        return float("inf")
+    return _median_reproj_err(np.asarray(pose_w2c), quality["world_pts"],
+                              quality["img_pts"], quality["K"])
 
 
 def _solve_core(world_pts: np.ndarray, img_pts: np.ndarray, K: np.ndarray,

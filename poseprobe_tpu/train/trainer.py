@@ -881,11 +881,30 @@ class JointTrainer:
                 # align against, degrading good PnP poses — see config)
                 s_pnp = photo_score(new_pose, new_idx)
                 s_warm = photo_score(warm_pose, new_idx)
-                if s_warm <= s_pnp:
+                accept = s_warm <= s_pnp
+                why = f"mse pnp {s_pnp:.4f} -> warm {s_warm:.4f}"
+                mg = cfg.camera.activation_warmup_match_guard
+                if accept and mg > 0 and q is not None and "world_pts" in q:
+                    # match-anchor guard (round-5): the photometric score CAN
+                    # prefer a corrupted pose — a new view's mse improves
+                    # under the poorly-generalizing scene while the pose
+                    # diverges (observed t 3.5 -> 24 x100 at every
+                    # activation, evaporating the probe). The activation's
+                    # own PnP anchors are the co-adaptation-free referee.
+                    med_warm = pnp_mod.reproj_for_pose(q, warm_pose)
+                    lim = max(mg * max(q["med_reproj_px"], 0.5),
+                              cfg.camera.match_guard_px_floor)
+                    if med_warm > lim:
+                        accept = False
+                        why += (f"; match guard REJECTS: warm reproj "
+                                f"{med_warm:.1f}px > {lim:.1f}px "
+                                f"(pnp {q['med_reproj_px']:.1f}px)")
+                    else:
+                        why += f", warm reproj {med_warm:.1f}px <= {lim:.1f}px"
+                if accept:
                     new_pose = warm_pose
                 print(f"[activate {step}] view {new_idx}: warmup "
-                      f"{'accepted' if s_warm <= s_pnp else 'REJECTED'} "
-                      f"(mse pnp {s_pnp:.4f} -> warm {s_warm:.4f})")
+                      f"{'accepted' if accept else 'REJECTED'} ({why})")
             else:
                 new_pose = warm_pose
             self._log_activation_error(step, new_idx, cur, new_pose, "warmup")
