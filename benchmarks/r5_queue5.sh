@@ -71,6 +71,14 @@ run_job 3view_classical2_mesh timeout 1800 python eval.py --synthetic \
   --ckpt logs/r5_3view_classical2/last_ckpt.pkl \
   --out_dir logs/r5_3view_classical2/eval_mesh_gt
 
+
+# 2b. classical 6-view retry at the refine-enabled HEAD (first attempt
+#     aborted: degenerate activation PnP killed the probe; the activation
+#     match-refine stage now rewrites such poses from the packs)
+tpu_job 6view_classical_ba2 timeout 9000 python run.py $BASE6 \
+  --match_source classical --texture noise --res 128 \
+  --pose_ba 0.25,0.45 --grid_stats --expname r5_6view_classical_ba2
+
 # 3. fresh full bench at this HEAD
 tpu_job bench_r5 timeout 1200 python bench.py
 

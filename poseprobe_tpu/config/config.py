@@ -100,6 +100,13 @@ class CameraConfig:
     # co-adapt. 0 disables.
     activation_warmup_match_guard: float = 3.0
     match_guard_px_floor: float = 3.0
+    # activation-time single-view match refinement (round-5, default ON):
+    # LM over the new view's 6-dof pose on its own match packs against the
+    # trusted views (pose_init/ba.refine_view_matches), accepted when the
+    # converged median residual <= this gate (px). Recovers degenerate
+    # PnP solves (self-consistent anchors, 6-12 deg off) that both the
+    # photometric and holdout referees miss. 0 disables.
+    activation_match_refine_px: float = 1.0
     # warmup optimizes rotation only (pure-rotation w2c refine keeps the
     # camera center at PnP's solution): the warmup reliably fixes
     # orientation but injects along-view translation against blurry renders;

@@ -716,6 +716,24 @@ class JointTrainer:
             "draining is the collapse signature). Disable only for "
             "probe-less experiments via --no_probe_check.")
 
+    def _ba_observations(self, n_act: int):
+        """Match packs -> BA observations for the active views (chain
+        scene+object pairs plus (i-2, i) skip pairs)."""
+        from ..pose_init import ba as ba_mod
+
+        packs, pairs = [], []
+        for i in range(1, self.n_train):
+            j = int(np.asarray(self.pair_j)[i])
+            packs.append(np.asarray(self.scene_matches[i]))
+            pairs.append((j, i))
+            packs.append(np.asarray(self.obj_matches[i]))
+            pairs.append((j, i))
+        if self.data.ba_matches is not None and len(self.data.ba_matches):
+            for pack, ab in zip(self.data.ba_matches, self.data.ba_pairs):
+                packs.append(np.asarray(pack))
+                pairs.append((int(ab[0]), int(ab[1])))
+        return ba_mod.observations_from_packs(packs, pairs, n_act)
+
     def polish_poses_ba(self) -> dict:
         """Match-based bundle-adjustment pose polish (host event).
 
@@ -730,18 +748,7 @@ class JointTrainer:
         from ..pose_init import ba as ba_mod
 
         n_act = self.state.n_active
-        packs, pairs = [], []
-        for i in range(1, self.n_train):
-            j = int(np.asarray(self.pair_j)[i])
-            packs.append(np.asarray(self.scene_matches[i]))
-            pairs.append((j, i))
-            packs.append(np.asarray(self.obj_matches[i]))
-            pairs.append((j, i))
-        if self.data.ba_matches is not None and len(self.data.ba_matches):
-            for pack, ab in zip(self.data.ba_matches, self.data.ba_pairs):
-                packs.append(np.asarray(pack))
-                pairs.append((int(ab[0]), int(ab[1])))
-        obs = ba_mod.observations_from_packs(packs, pairs, n_act)
+        obs = self._ba_observations(n_act)
         cur = self.current_pose_host()
         polished, info = ba_mod.polish_poses_matches(
             cur[:n_act], np.asarray(self.Ks)[:n_act],
@@ -941,6 +948,40 @@ class JointTrainer:
                 if tag != "kept":
                     self._log_activation_error(step, new_idx, cur, new_pose,
                                                f"rescue:{tag}")
+        mr_gate = cfg.camera.activation_match_refine_px
+        if mr_gate > 0 and cfg.pnp.use_pnp and not cfg.pnp.use_identical:
+            # scoped to the PnP-activation regime: no-PnP protocols seed
+            # from noise-composed GT (reference behavior) and must not be
+            # silently snapped to match geometry
+            # match-geometry refinement of the settled pose (round-5): LM
+            # over the NEW view's 6-dof pose on its own match packs against
+            # the trusted views (pose_init/ba.refine_view_matches). The
+            # pairwise geometry cannot co-adapt, and the one-view problem is
+            # benign enough for multi-start LM to recover even 12-deg-off
+            # degenerate PnP solves (measured: R 12 / t x100 16 -> R 0.10 /
+            # t 0.88 on real SIFT packs). Accepted only when the converged
+            # median residual is below the gate — garbage matches decline.
+            from ..pose_init import ba as ba_mod
+
+            poses_now = np.asarray(cur).copy()
+            poses_now[new_idx] = new_pose
+            obs_act = self._ba_observations(new_idx + 1)
+            refined, mr = ba_mod.refine_view_matches(
+                poses_now, np.asarray(self.Ks), obs_act, new_idx,
+                starts=[("settled", new_pose),
+                        ("prev", np.asarray(cur[new_idx - 1]))])
+            if mr["applied"] and mr["med_px"] <= mr_gate:
+                moved = float(np.abs(refined - new_pose).max())
+                new_pose = refined
+                print(f"[activate {step}] view {new_idx}: match refine "
+                      f"accepted (start {mr['start']}, med "
+                      f"{mr['med_px']:.2f}px <= {mr_gate:g}px, "
+                      f"max delta {moved:.4f})")
+                self._log_activation_error(step, new_idx, cur, new_pose,
+                                           "match-refine")
+            elif mr["applied"]:
+                print(f"[activate {step}] view {new_idx}: match refine "
+                      f"declined (med {mr['med_px']:.2f}px > {mr_gate:g}px)")
         poses_pnp = np.asarray(self.state.poses_pnp).copy()
         poses_pnp[new_idx] = new_pose
         self.state.poses_pnp = jnp.asarray(poses_pnp)

@@ -185,3 +185,53 @@ class TestTrainerEvent:
         # noisy-GT seeds + clean matches: BA rewrote the anchors
         assert not np.allclose(before, after)
         assert np.abs(refine[: tr.state.n_active]).max() < 0.02
+
+
+class TestViewMatchRefine:
+    """Round-5 activation rescue: single-view LM on the view's own match
+    packs recovers degenerate PnP solves (self-consistent anchors, 6-12 deg
+    off) that the photometric and holdout referees miss."""
+
+    def _degenerate(self, d, view=3, deg=12.0):
+        gt = d.poses_gt_w2c[d.i_train].astype(np.float64)
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal(3)
+        w *= np.deg2rad(deg) / np.linalg.norm(w)
+        R = np.asarray(lie.so3_to_SO3(jnp.asarray(w, jnp.float32)[None]))[0]
+        bad = gt.copy()
+        bad[view, :, :3] = R @ gt[view, :, :3]
+        bad[view, :, 3] += 0.25 * rng.standard_normal(3)
+        return gt, bad
+
+    def test_recovers_12deg_activation(self):
+        d = _scene()
+        gt, bad = self._degenerate(d)
+        view = 3
+        obs = _obs(d, n_active=view + 1)
+        pose, info = ba_mod.refine_view_matches(
+            bad, d.Ks[d.i_train], obs, view,
+            starts=[("pnp", bad[view]), ("prev", bad[view - 1])])
+        assert info["applied"] and info["med_px"] < 0.1
+        fixed = bad.copy()
+        fixed[view] = pose
+        r, t = _aligned_err(fixed[:view + 1], gt[:view + 1])
+        assert r < 0.05 and t < 0.5, (r, t)
+
+    def test_declines_on_garbage_matches(self):
+        """Pure-outlier packs must converge to a HIGH residual (the
+        trainer's acceptance gate then declines)."""
+        d = _scene(noise=0.0, outl=1.0)
+        gt, bad = self._degenerate(d)
+        view = 3
+        obs = _obs(d, n_active=view + 1)
+        pose, info = ba_mod.refine_view_matches(
+            bad, d.Ks[d.i_train], obs, view,
+            starts=[("pnp", bad[view])])
+        assert (not info["applied"]) or info["med_px"] > 1.0
+
+    def test_no_op_without_observations(self):
+        d = _scene()
+        gt, bad = self._degenerate(d)
+        pose, info = ba_mod.refine_view_matches(bad, d.Ks[d.i_train], [], 3)
+        assert not info["applied"]
+        np.testing.assert_allclose(pose, bad[3].astype(np.float32))
