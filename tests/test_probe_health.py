@@ -98,3 +98,53 @@ def test_check_disabled_warns_but_continues():
     assert not stats["healthy"]      # measured, reported, not raised
     t.fit(5)                         # and fit crosses the boundary fine
     assert t.state.step >= 5
+
+
+@pytest.mark.slow
+def test_activation_stack_with_refine_and_guard():
+    """Activation pipeline integration (round-5): PnP -> (gated, match-
+    guarded) warmup -> match refinement, across two activations of a tiny
+    incremental run. In the round-5 collapse post-mortem the warmup
+    corrupted near-exact poses (photometric mse preferred them); here the
+    refine stage must leave the final activation error at the match-
+    geometry level regardless."""
+    from poseprobe_tpu.data.synthetic import make_synthetic_scene
+    from poseprobe_tpu.models.object_sdf import ObjectConfig
+    from poseprobe_tpu.models.scene_nerf import SceneConfig
+    from poseprobe_tpu.train.trainer import JointTrainer
+
+    data = make_synthetic_scene(n_train=3, n_test=1, H=24, W=24, seed=0)
+    margin = float(data.xyz_max[0])
+    cfg = cfg_mod.ExperimentConfig(
+        data=cfg_mod.DataConfig(near=data.near, far=data.far),
+        camera=cfg_mod.CameraConfig(incremental=True, incremental_step=4,
+                                    barf_c2f=None, activation_pose_warmup=5,
+                                    activation_warmup_photo_ratio=4.0),
+        pnp=cfg_mod.PnPConfig(use_pnp=True),
+        object_model=ObjectConfig(xyz_min=(-margin,) * 3,
+                                  xyz_max=(margin,) * 3,
+                                  num_voxels=16**3, num_voxels_base=16**3,
+                                  N_iters=50, barf_c2f=None,
+                                  world_bound_scale=1.25),
+        object_train=cfg_mod.ObjectTrainConfig(
+            N_iters=50, N_rand=32, decay_step_module=(), tv_updates=(),
+            weight_tv_density=0.0, weight_tv_k0=0.0),
+        scene_model=SceneConfig(layers_feat=(16,) * 3, layers_rgb=(16, 3),
+                                skip=(), L_3D=2, L_view=1, sample_intvs=8,
+                                sample_intvs_fine=8, rand_rays=24,
+                                max_iter=100, barf_c2f=None,
+                                fine_sampling=False),
+        scene_train=cfg_mod.SceneTrainConfig(max_iter=100,
+                                             start_ratio_depth_cons=None),
+    )
+    t = JointTrainer(cfg, data, seed=0)
+    t.fit(10, log_every=2)  # activations at steps 4 and 8
+    assert t.state.n_active == 3
+    # the settled activation poses sit at match-geometry accuracy
+    from poseprobe_tpu.core import align as align_mod
+    cur = t.current_pose_host()
+    aligned, _ = align_mod.prealign_w2c_small_camera_systems(
+        cur, t.poses_gt)
+    err = align_mod.evaluate_camera_alignment(aligned, t.poses_gt)
+    assert float(np.asarray(err["R"]).max()) < 1.0
+    assert float(np.asarray(err["t"]).max()) < 3.0
