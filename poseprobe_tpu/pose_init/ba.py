@@ -228,7 +228,13 @@ def refine_view_matches(poses_w2c, Ks, obs, view: int, starts=None,
     for tag, p0 in starts:
         refined = lm_one(np.asarray(p0, np.float64))
         cost, med = robust_cost(refined)
-        if best is None or cost < best[0]:
+        # strict-improvement tie-break: with a near-degenerate direction
+        # (narrow-baseline + planar matches), several basins can converge to
+        # ~equal robust cost but very different translations — earlier
+        # starts carry more prior information (callers order them PnP
+        # first: its anchors pin the translation scale), so a later start
+        # must beat the incumbent by >0.1% to win.
+        if best is None or cost < 0.999 * best[0]:
             best = (cost, med, refined, tag)
     _, med, pose, tag = best
     info.update(applied=True, med_px=float(med), start=tag)

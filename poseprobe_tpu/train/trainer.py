@@ -823,6 +823,8 @@ class JointTrainer:
             qtag = "pnp (no-ransac)"
         else:
             qtag = "seed (gt+noise)" if self.cfg.camera.noise else "seed (gt)"
+        pnp_pose0 = np.asarray(new_pose).copy()  # pre-warmup/rescue: the
+        # anchor-scale-true start for the activation match refinement below
         self._log_activation_error(step, new_idx, cur, new_pose, qtag)
         # warmup gate: a PnP pose that already reprojects tightly is better
         # than anything a blurry early-BARF render can align (see config)
@@ -966,9 +968,16 @@ class JointTrainer:
             poses_now = np.asarray(cur).copy()
             poses_now[new_idx] = new_pose
             obs_act = self._ba_observations(new_idx + 1)
+            # start order matters (strict-improvement tie-break in ba.py):
+            # the raw PnP pose first — its anchors pin the translation scale
+            # along the narrow-baseline near-null direction where several
+            # basins converge to ~equal match cost (observed: a rescue-
+            # corrupted start refined to med 0.02 px at t x100 17 while the
+            # PnP-start basin sits at the true translation)
             refined, mr = ba_mod.refine_view_matches(
                 poses_now, np.asarray(self.Ks), obs_act, new_idx,
-                starts=[("settled", new_pose),
+                starts=[("pnp", pnp_pose0),
+                        ("settled", new_pose),
                         ("prev", np.asarray(cur[new_idx - 1]))])
             if mr["applied"] and mr["med_px"] <= mr_gate:
                 moved = float(np.abs(refined - new_pose).max())
