@@ -61,6 +61,17 @@ run_job 6view_ba_mesh timeout 1800 python eval.py --synthetic \
   --ckpt logs/r5_6view_ba/last_ckpt.pkl \
   --out_dir logs/r5_6view_ba/eval_mesh_gt
 
+# 1b. hostile-noise retry (verdict #4): the first attempt was destroyed by
+#     a degenerate far-field refine acceptance (now bounded) and aborted
+#     by the probe-health invariant
+tpu_job 3view_noise_real2 timeout 9000 python run.py $BASE3 \
+  --res 128 --match_noise_px 0.25 --match_outliers 0.15 \
+  --warmup_gate 1 --warmup_rescue 10 --pose_ba 0.25,0.45 \
+  --expname r5_3view_noise_real2
+
+# 1c. fresh full bench at this HEAD (early, in case the round ends)
+tpu_job bench_r5 timeout 1200 python bench.py
+
 # 2. geometry-headline retry at the guarded HEAD
 tpu_job 3view_classical2 timeout 9000 python run.py $BASE3 \
   --match_source classical --texture noise --res 128 \
@@ -78,9 +89,6 @@ run_job 3view_classical2_mesh timeout 1800 python eval.py --synthetic \
 tpu_job 6view_classical_ba2 timeout 9000 python run.py $BASE6 \
   --match_source classical --texture noise --res 128 \
   --pose_ba 0.25,0.45 --grid_stats --expname r5_6view_classical_ba2
-
-# 3. fresh full bench at this HEAD
-tpu_job bench_r5 timeout 1200 python bench.py
 
 # 4. seed variance
 tpu_job 6view_ba_seed1 timeout 7200 python run.py $BASE6 \

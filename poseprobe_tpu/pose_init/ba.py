@@ -224,10 +224,28 @@ def refine_view_matches(poses_w2c, Ks, obs, view: int, starts=None,
                     break
         return pose
 
+    # plausibility bound: under noisy near-planar packs the variable-
+    # projection cost has an UNBOUNDED degenerate direction — the view can
+    # recede arbitrarily while its own triangulations chase it (observed: a
+    # "solution" at 16k world units with med 0.21 px). A genuine activation
+    # correction stays within a few camera baselines of the trusted set.
+    def center(p):
+        return -p[:, :3].T @ p[:, 3]
+
+    partners = sorted({v for (a, b, _, _) in obs for v in (a, b)} - {view})
+    p_centers = np.stack([center(poses[v]) for v in partners]) \
+        if partners else center(poses[view])[None]
+    base = max(float(np.linalg.norm(
+        p_centers[:, None] - p_centers[None], axis=-1).max()), 1e-3)
+    centroid = p_centers.mean(0)
+
     best = None
     for tag, p0 in starts:
         refined = lm_one(np.asarray(p0, np.float64))
         cost, med = robust_cost(refined)
+        dist = float(np.linalg.norm(center(refined) - centroid))
+        if dist > 10.0 * base:
+            continue  # degenerate far-field basin
         # strict-improvement tie-break: with a near-degenerate direction
         # (narrow-baseline + planar matches), several basins can converge to
         # ~equal robust cost but very different translations — earlier
@@ -236,6 +254,9 @@ def refine_view_matches(poses_w2c, Ks, obs, view: int, starts=None,
         # must beat the incumbent by >0.1% to win.
         if best is None or cost < 0.999 * best[0]:
             best = (cost, med, refined, tag)
+    if best is None:
+        info["rejected_far_field"] = True
+        return poses[view].astype(np.float32), info
     _, med, pose, tag = best
     info.update(applied=True, med_px=float(med), start=tag)
     return pose.astype(np.float32), info

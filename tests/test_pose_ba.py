@@ -235,3 +235,21 @@ class TestViewMatchRefine:
         pose, info = ba_mod.refine_view_matches(bad, d.Ks[d.i_train], [], 3)
         assert not info["applied"]
         np.testing.assert_allclose(pose, bad[3].astype(np.float32))
+
+    def test_far_field_degenerate_solution_rejected(self):
+        """Noisy near-planar packs admit an UNBOUNDED degenerate direction
+        (the view recedes while its own triangulations chase it — observed
+        at 16k world units with med 0.21 px in the r5 noise run). Any
+        refined pose farther than 10x the partner baseline from the
+        trusted set must be discarded."""
+        d = _scene(noise=0.25, outl=0.15, res=128)
+        gt, bad = self._degenerate(d, deg=8.0)
+        view = 3
+        obs = _obs(d, n_active=view + 1)
+        pose, info = ba_mod.refine_view_matches(
+            bad, d.Ks[d.i_train], obs, view,
+            starts=[("pnp", bad[view]), ("prev", bad[view - 1])])
+        c = -pose[:, :3].T @ pose[:, 3]
+        centers = np.stack([-p[:, :3].T @ p[:, 3] for p in gt[:view]])
+        base = np.linalg.norm(centers[:, None] - centers[None], axis=-1).max()
+        assert np.linalg.norm(c - centers.mean(0)) <= 10 * base + 1.0
