@@ -120,6 +120,29 @@ def _huber_sqrt_w(r, delta):
     return np.sqrt(np.where(e <= delta, 1.0, delta / np.maximum(e, 1e-12)))
 
 
+def view_match_med_px(poses_w2c, Ks, obs, view: int) -> float:
+    """Median reprojection residual (px) of `view`'s CURRENT pose over the
+    match packs touching it (triangulating against the other poses). The
+    trainer uses this as the refine trigger: a pose already consistent
+    with the packs is left alone — at weak conditioning (64 px, 2
+    partners, near-planar matches) several poses fit the packs equally
+    well, so "refining" a consistent pose can hop basins (observed:
+    R 1.66 / t x100 5.3 -> R 2.5 / t 48 at med 0.02 px)."""
+    poses = np.asarray(poses_w2c, np.float64)
+    K_all = np.asarray(Ks, np.float64)
+    es = []
+    for a, b, pa, pb in obs:
+        if view not in (a, b):
+            continue
+        pts, ok = _triangulate(K_all[a], K_all[b], poses[a], poses[b], pa, pb)
+        e = np.maximum(_reproj_err(K_all[a], poses[a], pts, pa),
+                       _reproj_err(K_all[b], poses[b], pts, pb))
+        es.append(np.where(ok, np.minimum(e, 1e3), 1e3))
+    if not es:
+        return float("inf")
+    return float(np.median(np.concatenate(es)))
+
+
 def refine_view_matches(poses_w2c, Ks, obs, view: int, starts=None,
                         iters: int = 30, huber_px: float = 2.0,
                         trim_px: float = 6.0):

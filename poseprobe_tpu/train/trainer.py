@@ -968,6 +968,22 @@ class JointTrainer:
             poses_now = np.asarray(cur).copy()
             poses_now[new_idx] = new_pose
             obs_act = self._ba_observations(new_idx + 1)
+            # RESCUE-ONLY trigger: a settled pose already consistent with
+            # the packs is left alone. At weak conditioning (64 px, two
+            # partners, near-planar matches) several poses fit the packs
+            # equally well, so "refining" a consistent pose can hop into a
+            # wrong-but-consistent basin (observed R 1.66 / t 5.3 ->
+            # R 2.5 / t 48 at med 0.02 px); refinement is for poses that
+            # are measurably INCONSISTENT (the corrupted-warmup /
+            # degenerate-PnP cases, residuals in the tens of px).
+            med_settled = ba_mod.view_match_med_px(poses_now,
+                                                   np.asarray(self.Ks),
+                                                   obs_act, new_idx)
+            if med_settled <= mr_gate:
+                print(f"[activate {step}] view {new_idx}: match refine "
+                      f"skipped (settled pose consistent, med "
+                      f"{med_settled:.2f}px <= {mr_gate:g}px)")
+                obs_act = []  # fall through without refining
             # start order matters (strict-improvement tie-break in ba.py):
             # the raw PnP pose first — its anchors pin the translation scale
             # along the narrow-baseline near-null direction where several
