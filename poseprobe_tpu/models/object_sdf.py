@@ -72,6 +72,15 @@ class ObjectConfig:
     # smoothing conv over the sdf grid before sampling (scan1.py:118 -> off)
     smooth_ksize: int = 0
     smooth_sigma: float = 0.8
+    # cap on the learned beta of the sigmoid SDF mapping (0 = off). Healthy
+    # object-phase dynamics COLLAPSE map_beta from its init (~2.0) to
+    # ~0.002-0.5 within ~800 steps so the raw grid carries the shape;
+    # the evaporation basin instead RAISES beta (observed 2.9 -> 5.0 while
+    # frac_neg drains to 0): the saturating sigmoid lets the raw grid
+    # drift all-positive while still rendering, killing extraction and the
+    # PnP anchors. Capping at the init value blocks the basin without
+    # touching healthy runs (round-5 journal #13).
+    beta_cap: float = 0.0
     # rect used for cube init; None -> derived from bbox like recon_scene.py:142
     world_bound_scale: float = 1.05
     fast_color_thres: float = 0.0
@@ -227,6 +236,8 @@ def processed_sdf_grid(params: dict, cfg: ObjectConfig) -> jnp.ndarray:
         sdf = grid_ops.conv3d_separable_replicate(sdf, kernel)
     alpha = softplus10(params["sdf_alpha"])
     beta = softplus10(params["sdf_beta"])
+    if cfg.beta_cap > 0:
+        beta = jnp.minimum(beta, cfg.beta_cap)  # blocks the evaporation basin
     return alpha * (jax.nn.sigmoid(beta * sdf) - 0.5)
 
 

@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--i_ckpt", type=int, default=5000)
     p.add_argument("--i_validate_mesh", type=int, default=0,
                    help="extract + save the object mesh every N steps (0 = off)")
+    p.add_argument("--beta_cap", type=float, default=0.0,
+                   help="cap the learned SDF-mapping beta at this value "
+                        "(ObjectConfig.beta_cap; 2.0 = the init, blocks the "
+                        "evaporation basin where beta rises while frac_neg "
+                        "drains; 0 = off)")
     p.add_argument("--no_probe_check", action="store_true",
                    help="disable the default-on end-of-object-phase probe "
                         "health assertion (ProbeHealthError on an evaporated "
@@ -313,6 +318,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, object_train=dataclasses.replace(
                 cfg.object_train, probe_health_check=False))
+    if args.beta_cap:
+        cfg = dataclasses.replace(
+            cfg, object_model=dataclasses.replace(
+                cfg.object_model, beta_cap=args.beta_cap))
     if args.pnp_anchor:
         cfg = dataclasses.replace(
             cfg, pnp=dataclasses.replace(cfg.pnp, anchor=args.pnp_anchor))
