@@ -40,11 +40,11 @@ REFERENCE_RAYS_PER_SEC = 4096.0  # see module docstring
 # per-phase "phases_measured" list so a stale number can never pass as
 # fresh (round-3 verdict #1).
 COMMITTED_TPU = {
-    "value": 42268.0,
-    "early_ms": 49.56,
-    "coarse_ms": 7.35,
-    "mid_ms": 27.18,
-    "source": "PERFORMANCE.md round-4 full-fresh bench 2026-08-20 (TPU v5e)",
+    "value": 46071.2,
+    "early_ms": 48.63,
+    "coarse_ms": 6.72,
+    "mid_ms": 24.19,
+    "source": "PERFORMANCE.md round-5 full-fresh bench 2026-08-21 (TPU v5e)",
 }
 
 # Workload constants shared by build_trainer() and the provisional/fallback
